@@ -1,0 +1,130 @@
+"""Per-row extraction kernel: DOM fast path + OCR-decode fallback.
+
+This is the single-row semantic contract: the Ray pipeline (batched, actor
+pools) and the single-process oracle both reduce to this per-row behavior,
+and the byte-identity gate asserts they agree per url at any parallelism.
+
+The OCR path mirrors the reference's decode lifecycle
+(crates/infer-deepseek/src/model/mod.rs:2370-2454):
+
+  prepare_vision_inputs (global view + dynamic tiles, §M4-M7)
+  → per-step logits from the visual context (our deterministic glyph model
+    standing in for SAM+CLIP+MoE-decoder — the container has no model
+    weights; see functions/raster.py)
+  → select_token_id greedy loop with repetition penalty + n-gram ban + EOS
+    (crates/core/src/sampling.rs:34-158), fresh per-row state
+    (PromptCacheGuard semantics, crates/core/src/cache.rs:375-382)
+  → tokenizer decode + normalize_text (model/mod.rs:2437-2446,
+    crates/core/src/inference.rs:228-233).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import DecodeParameters, DomParams, ExtractConfig, TilingParams, VisionSettings
+from . import raster
+from .dom import extract_dom
+from .imageops import build_global_view, dynamic_tile, tile_count
+from .sampling import NgramBanState, select_token_id
+from .textops import normalize_text
+
+
+def ocr_decode_page(payload: bytes, vision: VisionSettings,
+                    tiling: TilingParams, decode: DecodeParameters
+                    ) -> Tuple[str, int, int]:
+    """Decode a raster payload to text. Returns (text, n_tiles, n_tokens).
+
+    Per-row state (the emitted token context feeding the repetition penalty
+    and n-gram ban) is created fresh here and dropped on return — the
+    KV-cache guard discipline.
+    """
+    img, glyph_scale, margin = raster.decode_payload(payload)
+    h, w = img.shape[:2]
+
+    global_size = vision.base_size if vision.crop_mode else vision.image_size
+    canvas = build_global_view(img, global_size)
+    if vision.crop_mode:
+        n_tiles = tile_count(w, h, tiling)
+    else:
+        n_tiles = 0
+
+    rows, cols = raster.grid_shape(w, h, glyph_scale, margin)
+    if rows == 0 or cols == 0:
+        return "", n_tiles, 0
+
+    # visual context: per-cell patterns + ink, and remaining-ink suffix sums
+    # (the stand-in for attending over all vision tokens at each step)
+    patterns = raster.sample_all_patterns(
+        canvas, w, h, global_size, glyph_scale, margin, rows, cols)
+    all_logits = raster.all_cell_logits(patterns)
+    ink = patterns.reshape(rows, cols, -1).sum(axis=2).astype(np.int64)
+    flat_ink = ink.reshape(-1)
+    remaining_after = np.concatenate([np.cumsum(flat_ink[::-1])[::-1][1:], [0]])
+
+    tokens: List[int] = []
+    ban_state = NgramBanState(decode.no_repeat_ngram_size)
+    step = 0
+    done = False
+    for r in range(rows):
+        if done:
+            break
+        for c in range(cols + 1):  # cols cells then one line-break slot
+            if step >= decode.max_new_tokens:
+                done = True
+                break
+            cell_index = r * cols + c
+            if c < cols:
+                logits = all_logits[r, c].copy()
+                remaining = flat_ink[cell_index] + remaining_after[cell_index]
+                # EOS competitive only when no ink remains anywhere ahead
+                logits[raster.EOS_ID] = np.float32(0.0) if remaining == 0 \
+                    else np.float32(-1000.0)
+            else:
+                # line-break slot: newline unless the page is exhausted
+                remaining = remaining_after[cell_index - 1] if cell_index > 0 \
+                    else flat_ink.sum()
+                logits = np.full(len(raster.VOCAB), -np.inf, dtype=np.float32)
+                logits[raster.EOS_ID] = np.float32(0.0)
+                if remaining > 0:
+                    logits[raster.NEWLINE_ID] = np.float32(0.5)
+            tok = select_token_id(logits, decode, tokens,
+                                  banned=ban_state.banned())
+            step += 1
+            if tok == raster.EOS_ID:
+                done = True
+                break
+            tokens.append(tok)
+            ban_state.append(tok)
+
+    text = normalize_text(raster.tokens_to_text(tokens))
+    return text, n_tiles, len(tokens)
+
+
+def extract_row(url: str, html_bytes: bytes,
+                cfg: ExtractConfig = ExtractConfig()) -> dict:
+    """Full per-row extraction: DOM strip, OCR fallback, normalize.
+
+    Returns {url, extracted_text, spans: [(start,end)...], method, n_tiles}.
+    """
+    dom = extract_dom(html_bytes, cfg.dom)
+    if dom["ok"] or dom["payload"] is None:
+        return {
+            "url": url,
+            "extracted_text": dom["text"],
+            "spans": dom["spans"],
+            "method": "dom",
+            "n_tiles": 0,
+        }
+    text, n_tiles, _ = ocr_decode_page(dom["payload"], cfg.vision, cfg.tiling,
+                                       cfg.decode)
+    spans = [dom["payload_span"]] if dom["payload_span"] is not None else []
+    return {
+        "url": url,
+        "extracted_text": text,
+        "spans": spans,
+        "method": "ocr",
+        "n_tiles": n_tiles,
+    }

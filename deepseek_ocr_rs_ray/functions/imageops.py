@@ -1,0 +1,272 @@
+"""Image preprocessing ops (byte-identity-critical), vectorized NumPy.
+
+Ported semantics (not code) from the reference:
+
+- ``round_ties_to_even``  — crates/infer-deepseek/src/model/mod.rs:2295-2306
+- ``build_global_view``   — model/mod.rs:2308-2330 (pad-to-square gray canvas,
+  aspect-preserving bicubic resize, round-half-even offsets)
+- ``resize_bicubic``      — crates/infer-deepseek/src/vision/resample.rs:9-160
+  (Pillow-identical fixed-point separable bicubic: 22-bit precision,
+  half-toward-zero window bounds, clip8)
+- ``best_grid`` / ``dynamic_tile`` — crates/infer-deepseek/src/vision/
+  preprocess.rs:50-138 (candidate (i,j) grids, closest-aspect argmin with
+  area tie-break, small-image bypass)
+- ``normalize_chw``       — model/mod.rs:2332-2347 ((x/255-0.5)/0.5, CHW)
+
+All arithmetic is integer or exact IEEE double reproducing the reference's
+operation order, so output rasters are byte-identical regardless of batch
+boundaries or parallelism.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache as _lru_cache
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import TilingParams
+
+PRECISION_BITS = 22
+PRECISION_SCALE = float(1 << PRECISION_BITS)
+ROUNDING_BIAS = 1 << (PRECISION_BITS - 1)
+GRAY_MEAN = int(0.5 * 255.0)  # 127, the canvas fill (model/mod.rs:2309)
+
+
+def round_ties_to_even(value: float) -> float:
+    """Round half to even, matching model/mod.rs:2295-2306 exactly."""
+    rounded = math.copysign(math.floor(abs(value) + 0.5), value)  # Rust f64::round
+    if abs(value - rounded) != 0.5:
+        return rounded
+    truncated = float(math.trunc(value))
+    if int(truncated) % 2 == 0:
+        return truncated
+    return truncated + math.copysign(1.0, value)
+
+
+def _round_half_towards_zero(value: float) -> int:
+    """resample.rs:19-25."""
+    if value >= 0.0:
+        return int(math.floor(value + 0.5))
+    return int(math.ceil(value + 0.5))
+
+
+def _bicubic_kernel(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom a=-0.5 kernel (resample.rs:27-36), float64."""
+    a = -0.5
+    x = np.abs(x)
+    out = np.zeros_like(x)
+    m1 = x < 1.0
+    m2 = (~m1) & (x < 2.0)
+    x1 = x[m1]
+    out[m1] = ((a + 2.0) * x1 - (a + 3.0)) * x1 * x1 + 1.0
+    x2 = x[m2]
+    out[m2] = (((x2 - 5.0) * x2 + 8.0) * x2 - 4.0) * a
+    return out
+
+
+def _compute_coeffs(input_size: int, output_size: int):
+    """Per-output-index window bounds + 22-bit fixed-point weights.
+
+    Mirrors resample.rs:38-104: window center (i+0.5)*scale, support
+    2*filterscale, half-toward-zero bounds with clamping, per-window
+    normalization, then symmetric round to int32.
+    Returns (starts[int64 out], lengths[int64 out], coeffs int64 [out, ksize]).
+    """
+    scale = input_size / output_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    ksize = int(math.ceil(support)) * 2 + 1
+
+    starts = np.zeros(output_size, dtype=np.int64)
+    lengths = np.zeros(output_size, dtype=np.int64)
+    coeffs = np.zeros((output_size, ksize), dtype=np.int64)
+    ss = 1.0 / filterscale
+
+    for out_index in range(output_size):
+        center = (out_index + 0.5) * scale
+        xmin = _round_half_towards_zero(center - support)
+        if xmin < 0:
+            xmin = 0
+        xmax = _round_half_towards_zero(center + support)
+        if xmax > input_size:
+            xmax = input_size
+        if xmin >= input_size:
+            xmin = max(input_size - 1, 0)
+        if xmax <= xmin:
+            xmax = xmin + 1
+        length = xmax - xmin
+        positions = xmin + np.arange(length, dtype=np.float64)
+        weights = _bicubic_kernel((positions - center + 0.5) * ss)
+        total = weights.sum()
+        if total != 0.0:
+            weights = weights / total
+        # symmetric round-half-away to int32 (resample.rs:83-91)
+        w_int = np.where(weights < 0.0,
+                         (-0.5 + weights * PRECISION_SCALE),
+                         (0.5 + weights * PRECISION_SCALE)).astype(np.int64)
+        # Rust casts the f64 expression straight to i32 (truncation toward 0)
+        # after adding ±0.5 — np.astype(int64) also truncates toward zero.
+        coeffs[out_index, :length] = w_int
+        starts[out_index] = xmin
+        lengths[out_index] = length
+    return starts, lengths, coeffs, ksize
+
+
+@_lru_cache(maxsize=128)
+def _weight_matrix(input_size: int, output_size: int) -> np.ndarray:
+    """Dense (input_size, output_size) float64 fixed-point weight matrix.
+
+    Every entry is an exact small integer (the int32 fixed-point coefficient)
+    stored in float64, so BLAS matmuls on it are exact integer arithmetic:
+    all products/sums stay far below 2^53, hence bit-identical results
+    regardless of accumulation order or BLAS threading.
+    """
+    starts, lengths, coeffs, ksize = _compute_coeffs(input_size, output_size)
+    w = np.zeros((input_size, output_size), dtype=np.float64)
+    for o in range(output_size):
+        s, l = int(starts[o]), int(lengths[o])
+        w[s:s + l, o] = coeffs[o, :l].astype(np.float64)
+    return w
+
+
+def _resample_axis1(img: np.ndarray, out_size: int) -> np.ndarray:
+    """Apply the 1-D fixed-point resample along axis 1 of (H, W, 3) uint8."""
+    h, w, c = img.shape
+    wm = _weight_matrix(w, out_size)
+    src = img.transpose(0, 2, 1).reshape(h * c, w).astype(np.float64)
+    acc = src @ wm                                   # exact integer math
+    acc = acc.astype(np.int64).reshape(h, c, out_size).transpose(0, 2, 1)
+    acc += ROUNDING_BIAS
+    return np.clip(acc >> PRECISION_BITS, 0, 255).astype(np.uint8)
+
+
+def resize_bicubic(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Pillow-identical fixed-point separable bicubic (resample.rs:106-160).
+
+    img: uint8 array (H, W, 3); returns uint8 (height, width, 3).
+    Horizontal pass first (producing uint8 intermediate rows), then vertical,
+    matching the reference's two-pass clip8 discipline bit-for-bit.
+    """
+    if width == 0 or height == 0:
+        return np.zeros((height, width, 3), dtype=np.uint8)
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+
+    horizontal = _resample_axis1(img, width)
+    transposed = np.ascontiguousarray(horizontal.transpose(1, 0, 2))
+    vertical = _resample_axis1(transposed, height)
+    return np.ascontiguousarray(vertical.transpose(1, 0, 2))
+
+
+def build_global_view(img: np.ndarray, base_size: int) -> np.ndarray:
+    """Pad-to-square gray canvas with centered aspect-preserving resize
+    (model/mod.rs:2308-2330). Returns uint8 (base_size, base_size, 3)."""
+    canvas = np.full((base_size, base_size, 3), GRAY_MEAN, dtype=np.uint8)
+    orig_h, orig_w = img.shape[:2]
+    if orig_w == 0 or orig_h == 0:
+        return canvas
+    scale = min(base_size / orig_w, base_size / orig_h)
+    new_w = int(min(max(round_ties_to_even(orig_w * scale), 1.0), float(base_size)))
+    new_h = int(min(max(round_ties_to_even(orig_h * scale), 1.0), float(base_size)))
+    resized = resize_bicubic(img, new_w, new_h)
+    x_off = int(round_ties_to_even((base_size - float(new_w)) * 0.5))
+    y_off = int(round_ties_to_even((base_size - float(new_h)) * 0.5))
+    canvas[y_off:y_off + new_h, x_off:x_off + new_w] = resized
+    return canvas
+
+
+def global_view_transform(orig_w: int, orig_h: int, base_size: int
+                          ) -> Tuple[float, int, int, int, int]:
+    """The (scale, new_w, new_h, x_off, y_off) placement used by
+    ``build_global_view`` — exposed so downstream consumers (the OCR glyph
+    sampler) can map source coordinates into the canvas deterministically."""
+    scale = min(base_size / orig_w, base_size / orig_h)
+    new_w = int(min(max(round_ties_to_even(orig_w * scale), 1.0), float(base_size)))
+    new_h = int(min(max(round_ties_to_even(orig_h * scale), 1.0), float(base_size)))
+    x_off = int(round_ties_to_even((base_size - float(new_w)) * 0.5))
+    y_off = int(round_ties_to_even((base_size - float(new_h)) * 0.5))
+    return scale, new_w, new_h, x_off, y_off
+
+
+def candidate_grids(min_num: int, max_num: int) -> List[Tuple[int, int]]:
+    """Sorted unique (w_ratio, h_ratio) grids with min<=w*h<=max
+    (preprocess.rs:85-94; BTreeSet iteration order = sorted)."""
+    grids = set()
+    for n in range(min_num, max_num + 1):
+        for i in range(1, n + 1):
+            for j in range(1, n + 1):
+                if min_num <= i * j <= max_num:
+                    grids.add((i, j))
+    return sorted(grids)
+
+
+def best_grid(orig_w: int, orig_h: int, params: TilingParams) -> Tuple[int, int]:
+    """Closest-aspect-ratio grid with the reference's area tie-break
+    (preprocess.rs:96-111): on an exact diff tie, prefer the candidate iff
+    image area > 0.5 * tile^2 * w*h."""
+    aspect = orig_w / orig_h
+    area = float(orig_w * orig_h)
+    best = (1, 1)
+    best_diff = float("inf")
+    for w_ratio, h_ratio in candidate_grids(params.min_num, params.max_num):
+        target = w_ratio / h_ratio
+        diff = abs(aspect - target)
+        if diff < best_diff:
+            best_diff = diff
+            best = (w_ratio, h_ratio)
+        elif abs(diff - best_diff) < np.finfo(np.float64).eps and \
+                area > 0.5 * (params.tile_size * params.tile_size * w_ratio * h_ratio):
+            best = (w_ratio, h_ratio)
+    return best
+
+
+def dynamic_tile(img: np.ndarray, params: TilingParams,
+                 use_thumbnail: bool = False
+                 ) -> Tuple[List[np.ndarray], Tuple[int, int]]:
+    """Dynamic tiling (preprocess.rs:66-138).
+
+    Small-image bypass: both dims <= threshold → no tiles, grid (1,1).
+    Otherwise resize to tile*grid with the fixed-point bicubic and crop
+    tile_size×tile_size tiles row-major; optional thumbnail appended.
+    Returns (tiles, (w_ratio, h_ratio)).
+    """
+    orig_h, orig_w = img.shape[:2]
+    thr = params.small_image_no_crop_threshold
+    if thr is not None and orig_w <= thr and orig_h <= thr:
+        return [], (1, 1)
+
+    grid = best_grid(orig_w, orig_h, params)
+    target_w = params.tile_size * grid[0]
+    target_h = params.tile_size * grid[1]
+    resized = resize_bicubic(img, target_w, target_h)
+
+    tiles = []
+    for i in range(grid[0] * grid[1]):
+        x = (i % grid[0]) * params.tile_size
+        y = (i // grid[0]) * params.tile_size
+        tiles.append(np.ascontiguousarray(
+            resized[y:y + params.tile_size, x:x + params.tile_size]))
+    if use_thumbnail and len(tiles) > 1:
+        tiles.append(resize_bicubic(img, params.tile_size, params.tile_size))
+    return tiles, grid
+
+
+def tile_count(orig_w: int, orig_h: int, params: TilingParams,
+               use_thumbnail: bool = False) -> int:
+    """Tile count without materializing rasters (for metadata/golden checks)."""
+    thr = params.small_image_no_crop_threshold
+    if thr is not None and orig_w <= thr and orig_h <= thr:
+        return 0
+    grid = best_grid(orig_w, orig_h, params)
+    n = grid[0] * grid[1]
+    if use_thumbnail and n > 1:
+        n += 1
+    return n
+
+
+def normalize_chw(img: np.ndarray) -> np.ndarray:
+    """uint8 HWC → float32 CHW normalized (x/255-0.5)/0.5 (model/mod.rs:2332-2347)."""
+    x = img.astype(np.float32) / np.float32(255.0)
+    x = (x - np.float32(0.5)) / np.float32(0.5)
+    return np.ascontiguousarray(x.transpose(2, 0, 1))

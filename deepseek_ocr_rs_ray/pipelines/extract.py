@@ -1,0 +1,260 @@
+"""The flagship extraction pipeline (SURVEY.md §7.1):
+
+    read_parquet(pages)                         # url, warc_ts, html, lang
+      → map_batches(DomExtract)                 # boilerplate strip, routing,
+                                                #   size-class tagging; html dropped
+      → map_batches(OcrDecode, concurrency=N)   # stateful actor pool, 5% of rows
+      → shard sink                              # partitioned parquet + counters
+
+Scale notes (the 100 TB story):
+
+- ``text`` is pruned at the read (only url/warc_ts/html/lang leave storage).
+- No all-to-all shuffle anywhere: routing is pass-through (the wide ``html``
+  column dies at the DOM stage, so OCR-pending payloads riding along cost
+  almost nothing), size classes come from a driver-side deterministic sample
+  rather than a global sort, and output partitioning happens inside the sink
+  tasks. The only materialized result per wave is a handful of counter rows.
+- Resumability: input files are processed in waves; each wave is one
+  pipeline execution committed atomically (state/manifest.py). A killed run
+  re-runs only uncommitted waves and reproduces byte-identical output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import ExtractConfig
+from ..stages.dom import DomExtract
+from ..stages.ocr import OcrDecode
+from ..state import manifest as mf
+
+OUTPUT_COLUMNS = ["url", "warc_ts", "lang", "html_bytes", "size_class",
+                  "extracted_text", "spans", "method", "n_tiles"]
+
+
+def compute_size_cuts(paths: Sequence[str], cfg: ExtractConfig) -> List[int]:
+    """Deterministic byte-length quantile cuts from a bounded sample.
+
+    Reads the first row groups of the lexically-first input files on the
+    driver (no Ray pass over the data) until ``size_sample_rows`` rows are
+    seen — deterministic across resumes, cheap at any corpus size. Returns
+    ``size_classes - 1`` ascending cut points.
+    """
+    lengths: List[int] = []
+    for path in sorted(paths):
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(batch_size=2048, columns=["html"]):
+            col = batch.column(0)
+            lengths.extend(len(v) for v in col.to_pylist())
+            if len(lengths) >= cfg.size_sample_rows:
+                break
+        if len(lengths) >= cfg.size_sample_rows:
+            break
+    if not lengths:
+        return [0] * (cfg.size_classes - 1)
+    arr = np.sort(np.asarray(lengths[:cfg.size_sample_rows], dtype=np.int64))
+    qs = [(i + 1) / cfg.size_classes for i in range(cfg.size_classes - 1)]
+    return [int(arr[min(int(q * len(arr)), len(arr) - 1)]) for q in qs]
+
+
+def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConfig(),
+                          size_cuts: Optional[Sequence[int]] = None,
+                          ocr_concurrency: Optional[int] = None):
+    """Lazy Dataset of extraction results (no sink attached)."""
+    import ray.data
+
+    if size_cuts is None:
+        size_cuts = compute_size_cuts(paths, cfg)
+    ds = ray.data.read_parquet(list(paths),
+                               columns=["url", "warc_ts", "html", "lang"])
+    ds = ds.map_batches(DomExtract(cfg, size_cuts), batch_format="pyarrow",
+                        batch_size=cfg.dom_batch_size)
+    conc = ocr_concurrency if ocr_concurrency is not None else cfg.ocr_concurrency
+    # never let the actor pool reserve every CPU — the read/sink task stages
+    # need slack or the pipeline deadlocks (streaming-executor starvation)
+    total_cpus = int(ray.cluster_resources().get("CPU", 4))
+    conc = max(1, min(conc, int((total_cpus - 2) / max(cfg.ocr_num_cpus, 0.25))))
+    ds = ds.map_batches(OcrDecode, fn_constructor_args=(cfg,),
+                        batch_format="pyarrow", batch_size=cfg.dom_batch_size,
+                        concurrency=conc, num_cpus=cfg.ocr_num_cpus)
+    return ds
+
+
+def _row_hash_xor(urls: List[str], texts: List[str]) -> int:
+    """Order-independent 128-bit content hash: XOR of per-row md5(url\\0text)."""
+    acc = 0
+    for u, t in zip(urls, texts):
+        digest = hashlib.md5(u.encode() + b"\x00" + t.encode()).digest()
+        acc ^= int.from_bytes(digest, "big")
+    return acc
+
+
+class ShardSink:
+    """Write each batch as per-size-class parquet shards; return counters.
+
+    The sink runs inside the Ray tasks (streaming, no driver funnel); the
+    only thing the driver materializes is one small counter row per
+    (batch, size_class).
+    """
+
+    def __init__(self, tmp_dir: str) -> None:
+        self.tmp_dir = tmp_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_rows = {"size_class": [], "row_count": [], "ocr_rows": [],
+                    "output_bytes": [], "hash_hi": [], "hash_lo": [],
+                    "dom_ms": [], "ocr_ms": []}
+        sc_arr = batch.column("size_class").to_numpy(zero_copy_only=False)
+        for sc in np.unique(sc_arr):
+            mask = sc_arr == sc
+            sub = batch.filter(pa.array(mask))
+            data = sub.select(OUTPUT_COLUMNS)
+            subdir = os.path.join(self.tmp_dir, f"sc={int(sc)}")
+            os.makedirs(subdir, exist_ok=True)
+            fname = os.path.join(subdir, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(data, fname, compression="zstd")
+
+            urls = sub.column("url").to_pylist()
+            texts = sub.column("extracted_text").to_pylist()
+            h = _row_hash_xor(urls, texts)
+            methods = sub.column("method").to_pylist()
+            out_rows["size_class"].append(int(sc))
+            out_rows["row_count"].append(sub.num_rows)
+            out_rows["ocr_rows"].append(sum(1 for m in methods if m == "ocr"))
+            out_rows["output_bytes"].append(os.path.getsize(fname))
+            out_rows["hash_hi"].append(h >> 64)
+            out_rows["hash_lo"].append(h & ((1 << 64) - 1))
+            out_rows["dom_ms"].append(float(pa.compute.sum(sub.column("dom_ms")).as_py() or 0.0))
+            out_rows["ocr_ms"].append(float(pa.compute.sum(sub.column("ocr_ms")).as_py() or 0.0))
+        return pa.table({
+            "size_class": pa.array(out_rows["size_class"], pa.int32()),
+            "row_count": pa.array(out_rows["row_count"], pa.int64()),
+            "ocr_rows": pa.array(out_rows["ocr_rows"], pa.int64()),
+            "output_bytes": pa.array(out_rows["output_bytes"], pa.int64()),
+            "hash_hi": pa.array([v & ((1 << 64) - 1) for v in out_rows["hash_hi"]], pa.uint64()),
+            "hash_lo": pa.array(out_rows["hash_lo"], pa.uint64()),
+            "dom_ms": pa.array(out_rows["dom_ms"], pa.float64()),
+            "ocr_ms": pa.array(out_rows["ocr_ms"], pa.float64()),
+        })
+
+
+def _aggregate_counters(counter_rows: List[dict]) -> List[dict]:
+    """Combine per-batch counters into per-size_class manifest entries."""
+    agg: dict = {}
+    for r in counter_rows:
+        sc = int(r["size_class"])
+        a = agg.setdefault(sc, {"size_class": sc, "row_count": 0, "ocr_rows": 0,
+                                "output_bytes": 0, "hash": 0,
+                                "dom_ms": 0.0, "ocr_ms": 0.0,
+                                "dom_ms_batches": [], "ocr_ms_batches": []})
+        a["row_count"] += int(r["row_count"])
+        a["ocr_rows"] += int(r["ocr_rows"])
+        a["output_bytes"] += int(r["output_bytes"])
+        a["hash"] ^= (int(r["hash_hi"]) << 64) | int(r["hash_lo"])
+        a["dom_ms"] += float(r["dom_ms"])
+        a["ocr_ms"] += float(r["ocr_ms"])
+        a["dom_ms_batches"].append(float(r["dom_ms"]))
+        a["ocr_ms_batches"].append(float(r["ocr_ms"]))
+    out = []
+    for sc in sorted(agg):
+        a = agg[sc]
+        a["content_hash"] = f"{a.pop('hash') & ((1 << 128) - 1):032x}"
+        out.append(a)
+    return out
+
+
+def _write_wave_metrics(out_dir: str, wave: int, counters: List[dict]) -> None:
+    """G1-analogue stage totals (crates/cli/src/bench.rs:139-172) per wave."""
+    rows = {"partition_id": [], "stage": [], "count": [], "total_ms": [],
+            "min_ms": [], "max_ms": []}
+    for stage in ("dom", "ocr"):
+        batches = [b for c in counters for b in c[f"{stage}_ms_batches"]]
+        count = sum(c["ocr_rows"] if stage == "ocr" else c["row_count"]
+                    for c in counters)
+        rows["partition_id"].append(wave)
+        rows["stage"].append(stage)
+        rows["count"].append(count)
+        rows["total_ms"].append(float(sum(batches)))
+        rows["min_ms"].append(float(min(batches)) if batches else 0.0)
+        rows["max_ms"].append(float(max(batches)) if batches else 0.0)
+    mdir = os.path.join(out_dir, "_metrics")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"wave-{wave:05d}.parquet")
+    t = pa.table({
+        "partition_id": pa.array(rows["partition_id"], pa.int32()),
+        "stage": pa.array(rows["stage"], pa.string()),
+        "count": pa.array(rows["count"], pa.int64()),
+        "total_ms": pa.array(rows["total_ms"], pa.float64()),
+        "min_ms": pa.array(rows["min_ms"], pa.float64()),
+        "max_ms": pa.array(rows["max_ms"], pa.float64()),
+    })
+    pq.write_table(t, path + ".tmp")
+    os.replace(path + ".tmp", path)
+
+
+def run_extract_job(input_paths: Sequence[str], out_dir: str,
+                    cfg: ExtractConfig = ExtractConfig(),
+                    wave_size: int = 64,
+                    max_waves: Optional[int] = None) -> dict:
+    """Resumable extraction job: waves of input files, atomic per-wave commit.
+
+    Returns a summary dict {waves_run, waves_skipped, rows, ocr_rows}.
+    """
+    files = sorted(input_paths)
+    os.makedirs(out_dir, exist_ok=True)
+    mf.clean_orphan_tmp(out_dir)
+    done = mf.committed_waves(out_dir)
+    size_cuts = compute_size_cuts(files, cfg)
+
+    waves = [(w, files[s:s + wave_size])
+             for w, s in enumerate(range(0, len(files), wave_size))]
+    summary = {"waves_run": 0, "waves_skipped": 0, "rows": 0, "ocr_rows": 0,
+               "size_cuts": size_cuts}
+
+    for wave, wave_files in waves:
+        if wave in done:
+            summary["waves_skipped"] += 1
+            continue
+        if max_waves is not None and summary["waves_run"] >= max_waves:
+            break
+        tmp = mf.wave_tmp_dir(out_dir, wave)
+        os.makedirs(tmp, exist_ok=True)
+
+        ds = build_extract_dataset(wave_files, cfg, size_cuts)
+        counters_ds = ds.map_batches(ShardSink(tmp), batch_format="pyarrow",
+                                     batch_size=None)
+        counter_rows = counters_ds.take_all()   # tiny: one row per batch/class
+        counters = _aggregate_counters(counter_rows)
+        mf.commit_wave(out_dir, wave, [os.path.basename(f) for f in wave_files],
+                       counters)
+        _write_wave_metrics(out_dir, wave, counters)
+        summary["waves_run"] += 1
+        summary["rows"] += sum(c["row_count"] for c in counters)
+        summary["ocr_rows"] += sum(c["ocr_rows"] for c in counters)
+    return summary
+
+
+def output_files(out_dir: str) -> List[str]:
+    out = []
+    for root, _dirs, names in os.walk(out_dir):
+        base = os.path.basename(root)
+        if base.startswith("_") or base.startswith(".tmp"):
+            continue
+        for n in names:
+            if n.endswith(".parquet") and not root.endswith("_manifest") \
+                    and "_metrics" not in root:
+                out.append(os.path.join(root, n))
+    return sorted(out)
+
+
+def read_output(out_dir: str):
+    """Dataset over the committed extraction output."""
+    import ray.data
+    return ray.data.read_parquet(output_files(out_dir))
