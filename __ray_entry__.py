@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps every implemented operator/pipeline from SURVEY.md §2
+(plus the training-data corpus ops) to a callable over ``sf_dir``;
+``oracle_sql()`` holds the DuckDB-equivalent SQL for every
+SQL-expressible entry. Column names match exactly between both sides;
+float determinism rules are documented in
+deepseek_ocr_rs_ray/pipelines/common.py.
 """
 
 from __future__ import annotations
@@ -18,27 +16,74 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from deepseek_ocr_rs_ray.pipelines import corpus as C
+from deepseek_ocr_rs_ray.pipelines import relational as R
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship extraction pipeline over a pages fixture sized for sf0.001."""
+    return C.x_extract_pages("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (G/J/T/D/M families)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_top_orders": R.q3_top_orders,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q_filter_project": R.q_filter_project,
+        "q_topk_orders": R.q_topk_orders,
+        "q_segment_counts": R.q_segment_counts,
+        "q_union_distinct": R.q_union_distinct,
+        "q_orders_by_month": R.q_orders_by_month,
+        # streaming-shaped (§2.9): windows, sessions, as-of
+        "q_events_hourly": R.q_events_hourly,
+        "q_events_sessionize": R.q_events_sessionize,
+        "q_asof_last_order": R.q_asof_last_order,
+        # text analysis
+        "q_token_stats": C.q_token_stats,
+        "q_quality_by_lang": C.q_quality_by_lang,
+        "q_doc_fingerprint": C.q_doc_fingerprint,
+        "q_langid": C.q_langid,
+        # dedup family
+        "q_dedup_exact": C.q_dedup_exact,
+        "q_jaccard_vs_doc0": C.q_jaccard_vs_doc0,
+        "q_jaccard_pairs": C.q_jaccard_pairs,
+        "q_minhash_pairs": C.q_minhash_pairs,
+        "q_simhash": C.q_simhash,
+        # similarity search
+        "q_knn_cosine": C.q_knn_cosine,
+        "q_embed_dup_pairs": C.q_embed_dup_pairs,
+        "q_ann_lsh": C.q_ann_lsh,
+        # extraction flagship + multimodal
+        "x_extract_pages": C.x_extract_pages,
+        "x_payload_meta": C.x_payload_meta,
+        "x_extract_manifest": C.x_extract_manifest,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q3_top_orders": R.Q3_SQL,
+        "q5_local_supplier_volume": R.Q5_SQL,
+        "q_filter_project": R.Q_FILTER_PROJECT_SQL,
+        "q_topk_orders": R.Q_TOPK_SQL,
+        "q_segment_counts": R.Q_SEGMENT_SQL,
+        "q_union_distinct": R.Q_UNION_SQL,
+        "q_orders_by_month": R.Q_MONTH_SQL,
+        "q_events_hourly": R.Q_EVENTS_HOURLY_SQL,
+        "q_events_sessionize": R.Q_SESSIONIZE_SQL,
+        "q_asof_last_order": R.Q_ASOF_SQL,
+        "q_token_stats": C.Q_TOKEN_STATS_SQL,
+        "q_quality_by_lang": C.Q_QUALITY_SQL,
+        "q_doc_fingerprint": C.Q_FINGERPRINT_SQL,
+        "q_dedup_exact": C.Q_DEDUP_EXACT_SQL,
+        "q_jaccard_vs_doc0": C.Q_JACCARD_SQL,
+        "q_jaccard_pairs": C.Q_JACCARD_PAIRS_SQL,
+        "q_knn_cosine": C.Q_KNN_SQL,
+        "q_embed_dup_pairs": C.Q_EMBED_DUP_SQL,
+        # rows-only (not SQL-expressible): q_langid, q_minhash_pairs,
+        # q_simhash, q_ann_lsh, x_extract_pages, x_payload_meta,
+        # x_extract_manifest
+    }

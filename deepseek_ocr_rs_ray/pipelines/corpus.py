@@ -1,0 +1,586 @@
+"""Training-data corpus operators over ``documents`` / ``embeddings`` and the
+synthetic ``pages`` fixture: deduplication (exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine), similarity search (brute-force cosine
+top-k + LSH-bucketed ANN), text analysis (language id, quality scores, token
+counts, fingerprints), and multimodal metadata probing.
+
+Scale patterns:
+
+- exact dedup: content-hash column in ``map_batches`` → hash-partitioned
+  ``groupby`` → first/min per group (the only shuffle touches hashes+ids);
+- MinHash-LSH: signatures per batch → explode to (band, bucket, doc) rows →
+  ``groupby`` band buckets → candidate pairs → verified Jaccard (broadcast
+  shingle sets at test scale; at corpus scale the verify step is a second
+  bucketed join — noted inline);
+- brute-force ANN: query matrix broadcast once via ``ray.put``, per-batch
+  float64 matmul, local top-k then tiny global reduce;
+- LSH ANN: seeded random-hyperplane signatures bucket both corpus and query;
+  exact rescoring only within matching buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import textops as T
+from .common import read_table, round6_np, single_row
+
+# ---------------------------------------------------------------------------
+# text analysis (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "ws_tokens": pa.array([T.ws_token_count(s) for s in texts], pa.int64()),
+            "bpe_tokens": pa.array([T.bpe_ish_token_count(s) for s in texts], pa.int64()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q_TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}')) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_quality_by_lang(sf_dir: str):
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        tmp = pa.table({
+            "lang": t["lang"],
+            "chars": pa.array([len(s) for s in texts], pa.int64()),
+            "tokens": pa.array([T.ws_token_count(s) for s in texts], pa.int64()),
+            "digits": pa.array([len(T._DIGIT_RE.findall(s)) for s in texts], pa.int64()),
+            "n": pa.array(np.ones(len(texts), dtype=np.int64)),
+        })
+        return tmp.group_by("lang").aggregate(
+            [("chars", "sum"), ("tokens", "sum"), ("digits", "sum"), ("n", "sum")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("lang")
+             .aggregate(Sum("chars_sum", alias_name="sum_chars"),
+                        Sum("tokens_sum", alias_name="sum_tokens"),
+                        Sum("digits_sum", alias_name="sum_digits"),
+                        Sum("n_sum", alias_name="n_docs")))
+    df = agg.to_pandas()
+    df["avg_chars"] = df["sum_chars"].astype(np.float64) / df["n_docs"].astype(np.float64)
+    return df
+
+
+Q_QUALITY_SQL = r"""
+SELECT lang,
+       SUM(CAST(length(text) AS BIGINT)) AS sum_chars,
+       SUM(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
+       SUM(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)) AS sum_digits,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table({"doc_id": t["doc_id"],
+                         "text_md5": pa.array([T.md5_hex(s) for s in texts])})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS text_md5 FROM documents"
+
+
+def q_langid(sf_dir: str):
+    """Language-id heuristic (rows-only: not expressible in SQL)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "lang_pred": pa.array([T.detect_lang(s) for s in texts])})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash → hash-partitioned groupby → min id + count (D4)."""
+    from ray.data.aggregate import Count, Min
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table({"doc_id": t["doc_id"],
+                         "text_md5": pa.array([T.md5_hex(s) for s in texts])})
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+              .groupby("text_md5")
+              .aggregate(Min("doc_id", alias_name="keep_id"),
+                         Count(alias_name="n_copies")))
+
+
+Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_jaccard_vs_doc0(sf_dir: str):
+    """Word-set Jaccard of every document against doc_id=0 (n-gram Jaccard
+    with n=1; the SQL oracle uses DuckDB list ops on the same tokenization)."""
+    import ray
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    q_text = None
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        ids = b["doc_id"].to_pylist()
+        if 0 in ids:
+            q_text = b["text"].to_pylist()[ids.index(0)]
+            break
+    qset = frozenset(tok.lower() for tok in q_text.strip().split())
+    q_ref = ray.put(qset)
+
+    def f(t: pa.Table) -> pa.Table:
+        qs = ray.get(q_ref)
+        texts = t.column("text").to_pylist()
+        out = np.empty(len(texts), dtype=np.float64)
+        for i, s in enumerate(texts):
+            w = frozenset(tok.lower() for tok in s.strip().split())
+            inter = len(w & qs)
+            union = len(w) + len(qs) - inter
+            out[i] = inter / union if union else 0.0
+        return pa.table({"doc_id": t["doc_id"],
+                         "jaccard": pa.array(round6_np(out))})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+Q_JACCARD_SQL = r"""
+WITH q AS (
+  SELECT list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents WHERE doc_id = 0
+)
+SELECT d.doc_id,
+  FLOOR(
+    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(d.text)), '\s+')), q.w)) AS DOUBLE)
+    / (len(list_distinct(regexp_split_to_array(lower(trim(d.text)), '\s+'))) + len(q.w)
+       - len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(d.text)), '\s+')), q.w)))
+    * 1000000 + 0.5) / 1000000 AS jaccard
+FROM documents d, q
+"""
+
+
+def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+    """Near-dup pairs by word-set Jaccard within each ``source`` bucket.
+
+    groupby(source).map_groups — co-locates each bucket, O(k²) verify inside.
+    At corpus scale the bucketing key comes from LSH (q_minhash_pairs);
+    here the natural partition key demonstrates the bucketed-pairs shape
+    with a SQL oracle.
+    """
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sets = [frozenset(t.lower().split()) for t in g["text"]]
+        rows = {"a": [], "b": [], "jaccard": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i]) + len(sets[j]) - inter
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    rows["a"].append(int(ids[i]))
+                    rows["b"].append(int(ids[j]))
+                    rows["jaccard"].append(float(np.floor(jac * 1e6 + 0.5) / 1e6))
+        return pd.DataFrame({"a": pd.Series(rows["a"], dtype="int64"),
+                             "b": pd.Series(rows["b"], dtype="int64"),
+                             "jaccard": pd.Series(rows["jaccard"], dtype="float64")})
+
+    return docs.groupby("source").map_groups(pairs, batch_format="pandas")
+
+
+Q_JACCARD_PAIRS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  FLOOR(
+    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+    / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
+    * 1000000 + 0.5) / 1000000 AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
+"""
+
+
+# --- MinHash-LSH near-dup (rows-only; verified in pytest vs brute force) ----
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+SHINGLE_K = 5
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n_perms: int = MINHASH_PERMS):
+    rng = np.random.default_rng(0x51A17)
+    a = rng.integers(1, _MERSENNE, size=n_perms, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_perms, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    sh = T.shingles(text, SHINGLE_K)
+    if not sh:
+        return np.full(len(a), _MERSENNE, dtype=np.int64)
+    hs = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 3
+                   for s in sorted(sh)], dtype=np.int64)
+    # (a*h + b) mod p per permutation, min over shingles
+    vals = (a[None, :].astype(object) * hs[:, None] + b[None, :]) % _MERSENNE
+    return np.min(vals.astype(np.int64), axis=0)
+
+
+def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
+    """MinHash+LSH candidate mining → exact shingle-Jaccard verification.
+
+    Signature/band stages are map_batches; the only shuffle moves
+    (band, bucket, doc_id) triples. Verification broadcasts the doc texts
+    (fine at test scale; at 10^12 docs the verify is a bucketed join of
+    candidate ids back to the corpus — same groupby machinery).
+    """
+    import ray
+    from ray.data.aggregate import Count
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    texts_ref = ray.put({int(i): t for i, t in zip(
+        *[docs.to_pandas()[c] for c in ("doc_id", "text")])})
+    a_params, b_params = _minhash_params()
+
+    def bands(t: pa.Table) -> pa.Table:
+        rows = {"band": [], "bucket": [], "doc_id": []}
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = minhash_signature(text, a_params, b_params)
+            for band in range(LSH_BANDS):
+                chunk = sig[band * LSH_ROWS:(band + 1) * LSH_ROWS]
+                bucket = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                rows["band"].append(band)
+                rows["bucket"].append(bucket)
+                rows["doc_id"].append(doc_id)
+        return pa.table({"band": pa.array(rows["band"], pa.int32()),
+                         "bucket": pa.array(rows["bucket"]),
+                         "doc_id": pa.array(rows["doc_id"], pa.int64())})
+
+    banded = docs.map_batches(bands, batch_format="pyarrow")
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in g["doc_id"]))
+        out = {"a": [], "b": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out["a"].append(ids[i])
+                out["b"].append(ids[j])
+        return pd.DataFrame({"a": pd.Series(out["a"], dtype="int64"),
+                             "b": pd.Series(out["b"], dtype="int64")})
+
+    cand = (banded.groupby(["band", "bucket"])
+                  .map_groups(candidates, batch_format="pandas")
+                  .groupby(["a", "b"])
+                  .aggregate(Count(alias_name="n_buckets")))
+
+    def verify(t: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        keep = {"a": [], "b": [], "jaccard": []}
+        for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            sa, sb = T.shingles(texts[x], SHINGLE_K), T.shingles(texts[y], SHINGLE_K)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                keep["a"].append(x)
+                keep["b"].append(y)
+                keep["jaccard"].append(np.floor(jac * 1e6 + 0.5) / 1e6)
+        return pa.table({"a": pa.array(keep["a"], pa.int64()),
+                         "b": pa.array(keep["b"], pa.int64()),
+                         "jaccard": pa.array(keep["jaccard"], pa.float64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams (md5-derived feature hashes)."""
+    acc = [0] * 64
+    for tok in set(t.lower() for t in text.strip().split()):
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= (1 << i)
+    return out
+
+
+def q_simhash(sf_dir: str):
+    """SimHash fingerprints + 16-bit prefix buckets (rows-only)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        hs = [simhash64(s) for s in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array([h & ((1 << 63) - 1) for h in hs],
+                                             pa.int64()),
+                         "bucket16": pa.array([h >> 48 for h in hs], pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _load_query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    for b in emb.iter_batches(batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if vec_id in ids:
+            return np.array(b["embedding"].to_pylist()[ids.index(vec_id)],
+                            dtype=np.float32).astype(np.float64)
+    raise KeyError(vec_id)
+
+
+def _batch_cosines(t: pa.Table, q: np.ndarray) -> np.ndarray:
+    """cos = dot(a,q) / (||a||·||q||) in float64 — same formula shape as the
+    SQL oracle so only accumulation-order ulps differ (absorbed by round6)."""
+    embs = np.array(t.column("embedding").to_pylist(),
+                    dtype=np.float32).astype(np.float64)
+    dots = embs @ q
+    norms = np.sqrt(np.einsum("ij,ij->i", embs, embs))
+    qnorm = np.sqrt(np.dot(q, q))
+    return dots / (norms * qnorm)
+
+
+def q_knn_cosine(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k vs vec_id=0: broadcast query, per-batch
+    float64 matmul, local top-k, tiny global reduce (S-family baseline)."""
+    import ray
+    q_ref = ray.put(_load_query_vec(sf_dir))
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        cos = round6_np(_batch_cosines(t, q))
+        tmp = pa.table({"vec_id": t["vec_id"], "cos": pa.array(cos)})
+        idx = pc.select_k_unstable(tmp, k=k,
+                                   sort_keys=[("cos", "descending"),
+                                              ("vec_id", "ascending")])
+        return tmp.take(idx)
+
+    df = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    return (df.sort_values(["cos", "vec_id"], ascending=[False, True])
+              .head(k).reset_index(drop=True))
+
+
+# note: DuckDB's list_cosine_similarity accumulates in float32 — the oracle
+# instead unnests and computes in DOUBLE so both engines do f64 math, and the
+# 1e-6 truncation absorbs accumulation-order ulps.
+Q_KNN_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+terms AS (
+  SELECT e.vec_id,
+         CAST(e.embedding[i] AS DOUBLE) AS x,
+         CAST(q.qe[i] AS DOUBLE) AS y
+  FROM embeddings e, q, generate_series(1, 64) AS t(i)
+)
+SELECT vec_id,
+       FLOOR(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) * 1000000 + 0.5)/1000000 AS cos
+FROM terms
+GROUP BY vec_id
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_embed_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup pairs within each label bucket."""
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        E = np.array(g["embedding"].tolist(), dtype=np.float32).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", E, E))
+        S = (E @ E.T) / np.outer(norms, norms)
+        out = {"label": [], "a": [], "b": [], "cos": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                c = np.floor(S[i, j] * 1e6 + 0.5) / 1e6
+                if c >= threshold:
+                    out["label"].append(int(g["label"].iloc[0]))
+                    out["a"].append(int(ids[i]))
+                    out["b"].append(int(ids[j]))
+                    out["cos"].append(float(c))
+        return pd.DataFrame({"label": pd.Series(out["label"], dtype="int32"),
+                             "a": pd.Series(out["a"], dtype="int64"),
+                             "b": pd.Series(out["b"], dtype="int64"),
+                             "cos": pd.Series(out["cos"], dtype="float64")})
+
+    return emb.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+Q_EMBED_DUP_SQL = """
+WITH pairs AS (
+  SELECT a.label AS label, a.vec_id AS a, b.vec_id AS b,
+         CAST(a.embedding[i] AS DOUBLE) AS x,
+         CAST(b.embedding[i] AS DOUBLE) AS y
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+       generate_series(1, 64) AS t(i)
+),
+cos AS (
+  SELECT label, a, b,
+         FLOOR(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) * 1000000 + 0.5)/1000000 AS cos
+  FROM pairs GROUP BY label, a, b
+)
+SELECT label, a, b, cos FROM cos WHERE cos >= 0.4
+"""
+
+
+LSH_PLANES = 12
+
+
+def q_ann_lsh(sf_dir: str, k: int = 10):
+    """LSH-bucketed ANN (rows-only): seeded random-hyperplane signatures;
+    exact rescoring only inside the query's bucket ring (hamming<=1)."""
+    import ray
+    q = _load_query_vec(sf_dir)
+    dim = q.shape[0]
+    rng = np.random.default_rng(0xA2217)
+    planes = rng.standard_normal((LSH_PLANES, dim))
+    q_sig = int("".join("1" if v > 0 else "0" for v in planes @ q), 2)
+    near = {q_sig} | {q_sig ^ (1 << i) for i in range(LSH_PLANES)}
+    state = ray.put((q, planes, near))
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        qv, pl, nr = ray.get(state)
+        embs = np.array(t.column("embedding").to_pylist(),
+                        dtype=np.float32).astype(np.float64)
+        sigs = (embs @ pl.T) > 0
+        vals = sigs @ (1 << np.arange(LSH_PLANES - 1, -1, -1))
+        keep = np.array([int(v) in nr for v in vals])
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        cos = round6_np(_batch_cosines(t, qv))
+        return pa.table({"vec_id": t["vec_id"], "cos": pa.array(cos)})
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = emb.map_batches(bucket_topk, batch_format="pyarrow").to_pandas()
+    return (df.sort_values(["cos", "vec_id"], ascending=[False, True])
+              .head(k).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# extraction + multimodal over the pages fixture (rows-only)
+# ---------------------------------------------------------------------------
+
+_SF_PAGE_ROWS = {"sf0.001": 200, "sf0.01": 1000, "sf0.1": 4000}
+
+
+def pages_rows_for(sf_dir: str) -> int:
+    token = sf_dir.rstrip("/").split("/")[-1]
+    return _SF_PAGE_ROWS.get(token, 400)
+
+
+def _pages_dir_for(sf_dir: str) -> str:
+    from ..fixtures.pages import pages_fixture_dir
+    return pages_fixture_dir(pages_rows_for(sf_dir))
+
+
+def x_extract_pages(sf_dir: str):
+    """The flagship pipeline as a query: pages fixture sized by sf."""
+    import glob
+    from .extract import build_extract_dataset
+    d = _pages_dir_for(sf_dir)
+    ds = build_extract_dataset(sorted(glob.glob(d + "/*.parquet")))
+    return ds.select_columns(["url", "extracted_text", "method", "n_tiles",
+                              "size_class", "html_bytes"])
+
+
+def x_payload_meta(sf_dir: str):
+    """Multimodal metadata probe: RAW2 headers of the raster payloads
+    (no decompression — the cheap schema pass over an opaque binary col)."""
+    import glob
+    import ray.data
+    from ..functions.dom import extract_dom
+    from ..functions.raster import payload_meta
+    d = _pages_dir_for(sf_dir)
+    pages = ray.data.read_parquet(sorted(glob.glob(d + "/*.parquet")),
+                                  columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = {"url": [], "width": [], "height": [], "glyph_scale": [],
+                "nbytes": []}
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            res = extract_dom(html)
+            if res["payload"] is None:
+                continue
+            meta = payload_meta(res["payload"])
+            if meta is None:
+                continue
+            rows["url"].append(url)
+            rows["width"].append(meta["width"])
+            rows["height"].append(meta["height"])
+            rows["glyph_scale"].append(meta["glyph_scale"])
+            rows["nbytes"].append(meta["nbytes"])
+        return pa.table({"url": pa.array(rows["url"]),
+                         "width": pa.array(rows["width"], pa.int64()),
+                         "height": pa.array(rows["height"], pa.int64()),
+                         "glyph_scale": pa.array(rows["glyph_scale"], pa.int64()),
+                         "nbytes": pa.array(rows["nbytes"], pa.int64())})
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+def x_extract_manifest(sf_dir: str):
+    """Run the resumable job (cached across calls via committed waves) and
+    return its lineage manifest — exercises commit/resume as an operator."""
+    import glob
+    from ..state import manifest as mfst
+    from .extract import run_extract_job
+    d = _pages_dir_for(sf_dir)
+    out = d.rstrip("/") + "_out"
+    run_extract_job(sorted(glob.glob(d + "/*.parquet")), out, wave_size=8)
+    t = mfst.read_manifest(out)
+    return t.select(["partition_id", "size_class", "row_count", "ocr_rows",
+                     "content_hash", "status"])

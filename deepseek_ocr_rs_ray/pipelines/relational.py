@@ -1,0 +1,515 @@
+"""Relational operator catalogue over the TPC-H-ish test tables.
+
+Each entry maps a reference operator family (SURVEY.md §2) onto Ray Data
+primitives with the scale patterns the 100 TB story needs:
+
+- pre-aggregation: per-batch partial aggregates inside ``map_batches``
+  before the (small) global ``groupby`` shuffle (G1-family);
+- broadcast joins: small sides shipped once via ``ray.put`` and probed
+  per batch (J1-family, "snapshot lookup" semantics);
+- partitioned hash join: ``Dataset.join`` for large⋈large (orders⋈lineitem);
+- local-then-global top-k (T-family): per-batch top-k before the tiny sort;
+- event-time windows/sessions: ``groupby(key).map_groups`` over ts-sorted
+  groups (§2.9 — Ray Data has no native windows);
+- as-of join: per-key ``merge_asof`` inside co-grouped map_groups.
+
+Every function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+Arrow table whose column names match the paired oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .common import cents_arr, cents_np, read_table, single_row
+
+CUTOFF = "1998-09-02"
+Q3_DATE = "1998-03-15"
+Q5_DATE_LO, Q5_DATE_HI = "1996-01-01", "1998-01-01"
+
+
+# ---------------------------------------------------------------------------
+# q1: grouped aggregate with partial pre-aggregation (G1 analogue)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(np.datetime64(CUTOFF, "us"))))
+        base_cents = cents_arr(t["l_extendedprice"])
+        disc_expr = pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        disc_cents = cents_arr(disc_expr)
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        tmp = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty, "base": base_cents, "disc": disc_cents,
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
+        return tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc", "sum"), ("n", "sum")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("qty_sum", alias_name="sum_qty"),
+                        Sum("base_sum", alias_name="sum_base_cents"),
+                        Sum("disc_sum", alias_name="sum_disc_cents"),
+                        Sum("n_sum", alias_name="count_order")))
+
+    df = agg.to_pandas()  # a handful of rows
+    df["avg_qty"] = df["sum_qty"].astype(np.float64) / df["count_order"].astype(np.float64)
+    df["avg_base_cents"] = df["sum_base_cents"].astype(np.float64) / df["count_order"].astype(np.float64)
+    return df
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_base_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q3: broadcast semi-join + grouped revenue + top-k (J1 + T-family)
+# ---------------------------------------------------------------------------
+
+def q3_top_orders(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_keys = set()
+    for b in cust.iter_batches(batch_format="pyarrow"):
+        m = pc.equal(b["c_mktsegment"], "BUILDING")
+        cust_keys.update(b.filter(m)["c_custkey"].to_pylist())
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    ckeys_ref = ray.put(np.array(sorted(cust_keys), dtype=np.int64))
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(ckeys_ref)
+        t = t.filter(pc.less(t["o_orderdate"],
+                             pa.scalar(np.datetime64(Q3_DATE, "us"))))
+        mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
+        return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
+
+    okeys = {}
+    for b in orders.map_batches(filter_orders, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for k, d in zip(b["o_orderkey"].to_pylist(), b["o_orderdate"].to_pylist()):
+            okeys[k] = d
+    okeys_ref = ray.put(np.array(sorted(okeys), dtype=np.int64))
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(okeys_ref)
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(np.datetime64(Q3_DATE, "us"))))
+        mask = np.isin(t["l_orderkey"].to_numpy(zero_copy_only=False), keys)
+        t = t.filter(pa.array(mask))
+        rev = cents_arr(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        tmp = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+        return tmp.group_by("o_orderkey").aggregate([("rev", "sum")])
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("o_orderkey")
+             .aggregate(Sum("rev_sum", alias_name="revenue_cents")))
+    df = agg.to_pandas()
+    df = df.sort_values(["revenue_cents", "o_orderkey"],
+                        ascending=[False, True]).head(10).reset_index(drop=True)
+    df["o_orderdate"] = df["o_orderkey"].map(okeys)
+    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"])
+    return df[["o_orderkey", "revenue_cents", "o_orderdate"]]
+
+
+Q3_SQL = f"""
+SELECT o_orderkey,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate  > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q5: broadcast dimensions + partitioned hash join (Dataset.join) + groupby
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier_volume(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    region = read_table(sf_dir, "region").to_pandas()
+    nation = read_table(sf_dir, "nation").to_pandas()
+    rkey = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    nations = nation[nation["n_regionkey"] == rkey]
+    nation_names = dict(zip(nations["n_nationkey"].astype(np.int64),
+                            nations["n_name"]))
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nation_names)]
+    cust_nation = dict(zip(cust["c_custkey"].astype(np.int64),
+                           cust["c_nationkey"].astype(np.int64)))
+    supp = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nation = dict(zip(supp["s_suppkey"].astype(np.int64),
+                           supp["s_nationkey"].astype(np.int64)))
+
+    cust_ref = ray.put(cust_nation)
+    supp_ref = ray.put(supp_nation)
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_in_region(t: pa.Table) -> pa.Table:
+        cn = ray.get(cust_ref)
+        lo = pa.scalar(np.datetime64(Q5_DATE_LO, "us"))
+        hi = pa.scalar(np.datetime64(Q5_DATE_HI, "us"))
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+        nk = np.array([cn.get(int(k), -1) for k in keys], dtype=np.int64)
+        out = pa.table({"o_orderkey": t["o_orderkey"],
+                        "cust_nation": pa.array(nk)})
+        return out.filter(pc.not_equal(out["cust_nation"], pa.scalar(-1)))
+
+    o_small = orders.map_batches(orders_in_region, batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    joined = li.join(o_small, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sn = ray.get(supp_ref)
+        skeys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = np.array([sn.get(int(k), -2) for k in skeys], dtype=np.int64)
+        keep = s_nat == t["cust_nation"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({"nationkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        rev = cents_arr(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        tmp = pa.table({"nationkey": t["cust_nation"], "rev": rev})
+        return tmp.group_by("nationkey").aggregate([("rev", "sum")])
+
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+                 .groupby("nationkey")
+                 .aggregate(Sum("rev_sum", alias_name="revenue_cents")))
+    df = agg.to_pandas()
+    df["n_name"] = df["nationkey"].map(nation_names)
+    df = df[["n_name", "revenue_cents"]].sort_values(
+        "revenue_cents", ascending=False).reset_index(drop=True)
+    return df
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+GROUP BY n_name
+ORDER BY revenue_cents DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter + project (M-family vectorized map)
+# ---------------------------------------------------------------------------
+
+def q_filter_project(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+        m = pc.and_(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                            pc.less(t["l_shipdate"], hi)),
+                    pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                            pc.and_(pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                                    pc.less(t["l_quantity"], pa.scalar(24.0)))))
+        t = t.filter(m)
+        rev = cents_arr(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "revenue_cents": rev})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q_FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k: local per-batch top-k, then tiny global sort+limit (T1/T5)
+# ---------------------------------------------------------------------------
+
+def q_topk_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        cents = cents_arr(t["o_totalprice"])
+        tmp = pa.table({"o_orderkey": t["o_orderkey"], "total_cents": cents})
+        idx = pc.select_k_unstable(tmp, k=10,
+                                   sort_keys=[("total_cents", "descending"),
+                                              ("o_orderkey", "ascending")])
+        return tmp.take(idx)
+
+    reduced = ds.map_batches(local_topk, batch_format="pyarrow")
+    df = reduced.to_pandas()
+    return (df.sort_values(["total_cents", "o_orderkey"],
+                           ascending=[False, True])
+              .head(10).reset_index(drop=True))
+
+
+Q_TOPK_SQL = """
+SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY total_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# distinct / grouped count (D-family)
+# ---------------------------------------------------------------------------
+
+def q_segment_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+    ds = read_table(sf_dir, "customer", ["c_mktsegment"])
+    return (ds.groupby("c_mktsegment")
+              .aggregate(Count(alias_name="n_customers")))
+
+
+Q_SEGMENT_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# union + distinct (set ops)
+# ---------------------------------------------------------------------------
+
+def q_union_distinct(sf_dir: str):
+    a = read_table(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    a = a.map_batches(lambda t: t.filter(pc.equal(t["o_orderstatus"], "F"))
+                      .select(["o_orderkey"]), batch_format="pyarrow")
+    b = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    b = b.map_batches(lambda t: t.filter(pc.greater(t["o_totalprice"],
+                                                    pa.scalar(200000.0)))
+                      .select(["o_orderkey"]), batch_format="pyarrow")
+    n = a.union(b).unique("o_orderkey")
+    return single_row({"n_orders": int(len(n))})
+
+
+Q_UNION_SQL = """
+SELECT COUNT(*) AS n_orders FROM (
+  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+  UNION
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# calendar rollup (timestamp projection + grouped agg)
+# ---------------------------------------------------------------------------
+
+def q_orders_by_month(sf_dir: str):
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        m = pc.cast(pc.month(t["o_orderdate"]), pa.int64())
+        cents = cents_arr(t["o_totalprice"])
+        tmp = pa.table({"year": y, "month": m, "cents": cents,
+                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return tmp.group_by(["year", "month"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["year", "month"])
+              .aggregate(Sum("cents_sum", alias_name="sum_total_cents"),
+                         Sum("n_sum", alias_name="n_orders")))
+
+
+Q_MONTH_SQL = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS month,
+       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS sum_total_cents,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-time tumbling window (§2.9 streaming analogue)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        cents = cents_arr(t["value"])
+        tmp = pa.table({"event_type": t["event_type"], "window_start": win,
+                        "cents": cents,
+                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return tmp.group_by(["event_type", "window_start"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "window_start"])
+              .aggregate(Sum("cents_sum", alias_name="sum_value_cents"),
+                         Sum("n_sum", alias_name="n_events")))
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_cents,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# sessionization: gap-based windows per key (map_groups over sorted group)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_events_sessionize(sf_dir: str):
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds() * 1e6
+        starts = (gaps.isna() | (gaps > SESSION_GAP_US)).sum()
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(starts)],
+                             "n_events": [len(g)]})
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+Q_SESSIONIZE_SQL = f"""
+SELECT user_id,
+       SUM(CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# as-of join: latest order at-or-before each event (J-family, merge_asof)
+# ---------------------------------------------------------------------------
+
+def q_asof_last_order(sf_dir: str):
+    import ray.data
+    events = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    # deterministic representative per (custkey, orderdate): max orderkey —
+    # an ASOF join against tied timestamps is otherwise nondeterministic
+    def dedup_orders(t: pa.Table) -> pa.Table:
+        return t.group_by(["o_custkey", "o_orderdate"]).aggregate(
+            [("o_orderkey", "max")])
+
+    from ray.data.aggregate import Max
+    o = (orders.map_batches(dedup_orders, batch_format="pyarrow")
+               .groupby(["o_custkey", "o_orderdate"])
+               .aggregate(Max("o_orderkey_max", alias_name="o_orderkey")))
+
+    # co-group both sides by user key, merge_asof inside each group
+    ev_tagged = events.map_batches(
+        lambda t: pa.table({"k": t["user_id"], "event_id": t["event_id"],
+                            "ts": t["ts"],
+                            "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                            "side": pa.array(["e"] * t.num_rows)}),
+        batch_format="pyarrow")
+    or_tagged = o.map_batches(
+        lambda t: pa.table({"k": pc.cast(t["o_custkey"], pa.int64()),
+                            "event_id": pa.nulls(t.num_rows, pa.int64()),
+                            "ts": t["o_orderdate"],
+                            "o_orderkey": t["o_orderkey"],
+                            "side": pa.array(["o"] * t.num_rows)}),
+        batch_format="pyarrow")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == "e"].sort_values(["ts", "event_id"])
+        od = g[g["side"] == "o"].sort_values("ts")
+        if len(ev) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "last_orderkey": pd.Series([], dtype="int64")})
+        merged = pd.merge_asof(ev[["ts", "event_id"]],
+                               od[["ts", "o_orderkey"]],
+                               on="ts", direction="backward")
+        return pd.DataFrame({"event_id": merged["event_id"].astype("int64"),
+                             "user_id": np.full(len(merged), g["k"].iloc[0],
+                                                dtype=np.int64),
+                             "last_orderkey": merged["o_orderkey"]})
+
+    return ev_tagged.union(or_tagged).groupby("k").map_groups(
+        asof, batch_format="pandas")
+
+
+Q_ASOF_SQL = """
+SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+FROM events e
+ASOF LEFT JOIN (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+) o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
