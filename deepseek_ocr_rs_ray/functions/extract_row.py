@@ -45,7 +45,6 @@ def ocr_decode_page(payload: bytes, vision: VisionSettings,
     h, w = img.shape[:2]
 
     global_size = vision.base_size if vision.crop_mode else vision.image_size
-    canvas = build_global_view(img, global_size)
     if vision.crop_mode:
         n_tiles = tile_count(w, h, tiling)
     else:
@@ -56,13 +55,27 @@ def ocr_decode_page(payload: bytes, vision: VisionSettings,
         return "", n_tiles, 0
 
     # visual context: per-cell patterns + ink, and remaining-ink suffix sums
-    # (the stand-in for attending over all vision tokens at each step)
-    patterns = raster.sample_all_patterns(
-        canvas, w, h, global_size, glyph_scale, margin, rows, cols)
+    # (the stand-in for attending over all vision tokens at each step).
+    # sample_patterns_direct evaluates the global-view transform lazily at
+    # exactly the sampled pixels — bit-identical to building the canvas
+    # (raster.py docstring; parity test in tests/test_raster.py).
+    patterns = raster.sample_patterns_direct(
+        img, global_size, glyph_scale, margin, rows, cols)
     all_logits = raster.all_cell_logits(patterns)
     ink = patterns.reshape(rows, cols, -1).sum(axis=2).astype(np.int64)
     flat_ink = ink.reshape(-1)
     remaining_after = np.concatenate([np.cumsum(flat_ink[::-1])[::-1][1:], [0]])
+
+    # Greedy fast path: with the default penalty (1.0 = no-op) and an empty
+    # n-gram ban set, select_token_id reduces to first-index argmax of the
+    # raw logits — precompute it vectorized for every cell and fall back to
+    # the full policy only on the (rare) steps where a ban is active.
+    # Equivalence is asserted by test_raster/test_sampling parity tests.
+    penalty_noop = (decode.repetition_penalty <= 0.0 or
+                    abs(decode.repetition_penalty - 1.0) <= np.finfo(np.float32).eps)
+    masked = all_logits.copy()
+    masked[:, :, raster.EOS_ID] = np.float32(-1000.0)
+    fast_argmax = masked.reshape(rows * cols, -1).argmax(axis=1)
 
     tokens: List[int] = []
     ban_state = NgramBanState(decode.no_repeat_ngram_size)
@@ -76,22 +89,31 @@ def ocr_decode_page(payload: bytes, vision: VisionSettings,
                 done = True
                 break
             cell_index = r * cols + c
+            banned = ban_state.banned()
             if c < cols:
-                logits = all_logits[r, c].copy()
                 remaining = flat_ink[cell_index] + remaining_after[cell_index]
-                # EOS competitive only when no ink remains anywhere ahead
-                logits[raster.EOS_ID] = np.float32(0.0) if remaining == 0 \
-                    else np.float32(-1000.0)
+                if remaining == 0:
+                    # EOS logit 0.0 dominates every other (all <= -0.125)
+                    tok = raster.EOS_ID
+                elif penalty_noop and not banned:
+                    tok = int(fast_argmax[cell_index])
+                else:
+                    logits = all_logits[r, c].copy()
+                    logits[raster.EOS_ID] = np.float32(-1000.0)
+                    tok = select_token_id(logits, decode, tokens, banned=banned)
             else:
                 # line-break slot: newline unless the page is exhausted
                 remaining = remaining_after[cell_index - 1] if cell_index > 0 \
                     else flat_ink.sum()
-                logits = np.full(len(raster.VOCAB), -np.inf, dtype=np.float32)
-                logits[raster.EOS_ID] = np.float32(0.0)
-                if remaining > 0:
+                if remaining == 0:
+                    tok = raster.EOS_ID
+                elif penalty_noop and not banned:
+                    tok = raster.NEWLINE_ID
+                else:
+                    logits = np.full(len(raster.VOCAB), -np.inf, dtype=np.float32)
+                    logits[raster.EOS_ID] = np.float32(0.0)
                     logits[raster.NEWLINE_ID] = np.float32(0.5)
-            tok = select_token_id(logits, decode, tokens,
-                                  banned=ban_state.banned())
+                    tok = select_token_id(logits, decode, tokens, banned=banned)
             step += 1
             if tok == raster.EOS_ID:
                 done = True

@@ -71,75 +71,79 @@ def _compute_coeffs(input_size: int, output_size: int):
 
     Mirrors resample.rs:38-104: window center (i+0.5)*scale, support
     2*filterscale, half-toward-zero bounds with clamping, per-window
-    normalization, then symmetric round to int32.
+    normalization, then symmetric round to int32. Fully vectorized over
+    output indices — identical doubles to the scalar loop (same formulas,
+    elementwise ops only).
     Returns (starts[int64 out], lengths[int64 out], coeffs int64 [out, ksize]).
     """
     scale = input_size / output_size
     filterscale = max(scale, 1.0)
     support = 2.0 * filterscale
     ksize = int(math.ceil(support)) * 2 + 1
-
-    starts = np.zeros(output_size, dtype=np.int64)
-    lengths = np.zeros(output_size, dtype=np.int64)
-    coeffs = np.zeros((output_size, ksize), dtype=np.int64)
     ss = 1.0 / filterscale
 
-    for out_index in range(output_size):
-        center = (out_index + 0.5) * scale
-        xmin = _round_half_towards_zero(center - support)
-        if xmin < 0:
-            xmin = 0
-        xmax = _round_half_towards_zero(center + support)
-        if xmax > input_size:
-            xmax = input_size
-        if xmin >= input_size:
-            xmin = max(input_size - 1, 0)
-        if xmax <= xmin:
-            xmax = xmin + 1
-        length = xmax - xmin
-        positions = xmin + np.arange(length, dtype=np.float64)
-        weights = _bicubic_kernel((positions - center + 0.5) * ss)
-        total = weights.sum()
-        if total != 0.0:
-            weights = weights / total
-        # symmetric round-half-away to int32 (resample.rs:83-91)
-        w_int = np.where(weights < 0.0,
-                         (-0.5 + weights * PRECISION_SCALE),
-                         (0.5 + weights * PRECISION_SCALE)).astype(np.int64)
-        # Rust casts the f64 expression straight to i32 (truncation toward 0)
-        # after adding ±0.5 — np.astype(int64) also truncates toward zero.
-        coeffs[out_index, :length] = w_int
-        starts[out_index] = xmin
-        lengths[out_index] = length
-    return starts, lengths, coeffs, ksize
+    out_idx = np.arange(output_size, dtype=np.float64)
+    centers = (out_idx + 0.5) * scale
+    # round_half_towards_zero: floor(v+0.5) for v>=0, ceil(v+0.5) for v<0
+    lo = centers - support
+    hi = centers + support
+    xmin = np.where(lo >= 0.0, np.floor(lo + 0.5), np.ceil(lo + 0.5)).astype(np.int64)
+    xmax = np.where(hi >= 0.0, np.floor(hi + 0.5), np.ceil(hi + 0.5)).astype(np.int64)
+    np.clip(xmin, 0, None, out=xmin)
+    np.minimum(xmax, input_size, out=xmax)
+    xmin = np.where(xmin >= input_size, max(input_size - 1, 0), xmin)
+    xmax = np.where(xmax <= xmin, xmin + 1, xmax)
+    lengths = xmax - xmin
+
+    pos = xmin[:, None].astype(np.float64) + np.arange(ksize)[None, :]
+    weights = _bicubic_kernel((pos - centers[:, None] + 0.5) * ss)
+    valid = np.arange(ksize)[None, :] < lengths[:, None]
+    weights = np.where(valid, weights, 0.0)
+    totals = weights.sum(axis=1)
+    nz = totals != 0.0
+    weights[nz] = weights[nz] / totals[nz, None]
+    # symmetric round-half-away, then truncation toward zero (i32 cast)
+    coeffs = np.where(weights < 0.0,
+                      -0.5 + weights * PRECISION_SCALE,
+                      0.5 + weights * PRECISION_SCALE).astype(np.int64)
+    coeffs[~valid] = 0
+    return xmin, lengths, coeffs, ksize
 
 
 @_lru_cache(maxsize=128)
-def _weight_matrix(input_size: int, output_size: int) -> np.ndarray:
-    """Dense (input_size, output_size) float64 fixed-point weight matrix.
+def _gather_coeffs(input_size: int, output_size: int):
+    """Cached (idx, coeffs) for the windowed resample: idx[out, k] clamped
+    gather indices, coeffs float64 (out, k) fixed-point weights (zero beyond
+    each window's length, so the clamped gather positions contribute 0).
 
-    Every entry is an exact small integer (the int32 fixed-point coefficient)
-    stored in float64, so BLAS matmuls on it are exact integer arithmetic:
-    all products/sums stay far below 2^53, hence bit-identical results
-    regardless of accumulation order or BLAS threading.
+    Weights are exact small integers in float64: every product/sum in the
+    resample stays far below 2^53, so float64 accumulation is exact integer
+    arithmetic — bit-identical results at any chunking or thread count.
     """
     starts, lengths, coeffs, ksize = _compute_coeffs(input_size, output_size)
-    w = np.zeros((input_size, output_size), dtype=np.float64)
-    for o in range(output_size):
-        s, l = int(starts[o]), int(lengths[o])
-        w[s:s + l, o] = coeffs[o, :l].astype(np.float64)
-    return w
+    idx = np.minimum(starts[:, None] + np.arange(ksize)[None, :], input_size - 1)
+    return np.ascontiguousarray(idx), coeffs.astype(np.float64)
 
 
 def _resample_axis1(img: np.ndarray, out_size: int) -> np.ndarray:
-    """Apply the 1-D fixed-point resample along axis 1 of (H, W, 3) uint8."""
+    """Apply the 1-D fixed-point resample along axis 1 of (H, W, 3) uint8.
+
+    k-term windowed gather-accumulate: O(H*out*k) instead of a dense
+    O(H*out*in) matmul (k = 5 for upscale, ~2*ceil(2*scale)+1 downscale).
+    """
     h, w, c = img.shape
-    wm = _weight_matrix(w, out_size)
-    src = img.transpose(0, 2, 1).reshape(h * c, w).astype(np.float64)
-    acc = src @ wm                                   # exact integer math
-    acc = acc.astype(np.int64).reshape(h, c, out_size).transpose(0, 2, 1)
-    acc += ROUNDING_BIAS
-    return np.clip(acc >> PRECISION_BITS, 0, 255).astype(np.uint8)
+    idx, coeffs = _gather_coeffs(w, out_size)
+    ksize = idx.shape[1]
+    acc = np.zeros((h, out_size, c), dtype=np.float64)
+    src = img.astype(np.float64)
+    for k in range(ksize):
+        ck = coeffs[:, k]
+        if not ck.any():
+            continue
+        acc += src[:, idx[:, k], :] * ck[None, :, None]
+    acc_int = acc.astype(np.int64) + ROUNDING_BIAS
+    np.right_shift(acc_int, PRECISION_BITS, out=acc_int)
+    return np.clip(acc_int, 0, 255, out=acc_int).astype(np.uint8)
 
 
 def resize_bicubic(img: np.ndarray, width: int, height: int) -> np.ndarray:

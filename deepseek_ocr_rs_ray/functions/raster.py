@@ -185,6 +185,54 @@ def sample_all_patterns(canvas: np.ndarray, orig_w: int, orig_h: int,
     return (sampled.transpose(0, 2, 1, 3) < 128).astype(np.uint8)
 
 
+def sample_patterns_direct(img: np.ndarray, base_size: int, glyph_scale: int,
+                           margin: int, rows: int, cols: int) -> np.ndarray:
+    """Bit-identical to ``build_global_view`` + ``sample_all_patterns`` but
+    computes ONLY the ~rows*cols*35 canvas pixels the glyph sampler reads,
+    via the same two-pass fixed-point bicubic restricted to the needed
+    row/column windows (exact clip8 discipline preserved; parity asserted in
+    tests). Avoids materializing the base_size² canvas per page.
+    """
+    from .imageops import ROUNDING_BIAS, PRECISION_BITS, _compute_coeffs, \
+        global_view_transform
+    h, w = img.shape[:2]
+    scale, new_w, new_h, x_off, y_off = global_view_transform(w, h, base_size)
+
+    col_i = np.arange(cols)
+    row_i = np.arange(rows)
+    gx_i = np.arange(GLYPH_W)
+    gy_i = np.arange(GLYPH_H)
+    sx = ((margin + col_i[:, None] * CELL_W + gx_i[None, :]) + 0.5) * glyph_scale
+    sy = ((margin + row_i[:, None] * CELL_H + gy_i[None, :]) + 0.5) * glyph_scale
+    rx = np.clip((sx * scale).astype(np.int64), 0, new_w - 1)   # (cols, GW)
+    ry = np.clip((sy * scale).astype(np.int64), 0, new_h - 1)   # (rows, GH)
+
+    ux, inv_x = np.unique(rx, return_inverse=True)
+    uy, inv_y = np.unique(ry, return_inverse=True)
+    inv_x = inv_x.reshape(rx.shape)
+    inv_y = inv_y.reshape(ry.shape)
+
+    sx_starts, _, sx_co, kx = _compute_coeffs(w, new_w)
+    sy_starts, _, sy_co, ky = _compute_coeffs(h, new_h)
+    idx_x = np.minimum(sx_starts[ux][:, None] + np.arange(kx)[None, :], w - 1)
+    idx_y = np.minimum(sy_starts[uy][:, None] + np.arange(ky)[None, :], h - 1)
+
+    rows_needed = np.unique(idx_y)
+    pos = np.searchsorted(rows_needed, idx_y)                    # (Y, ky)
+
+    src = img[rows_needed][:, :, 0].astype(np.int64)             # (R, w)
+    gathered = src[:, idx_x]                                     # (R, X, kx)
+    acc = np.einsum("rxk,xk->rx", gathered, sx_co[ux]) + ROUNDING_BIAS
+    hv = np.clip(acc >> PRECISION_BITS, 0, 255)                  # (R, X)
+
+    g2 = hv[pos]                                                 # (Y, ky, X)
+    acc2 = np.einsum("ykx,yk->yx", g2, sy_co[uy]) + ROUNDING_BIAS
+    cv = np.clip(acc2 >> PRECISION_BITS, 0, 255)                 # (Y, X)
+
+    sampled = cv[inv_y[:, None, :, None], inv_x[None, :, None, :]]
+    return (sampled < 128).astype(np.uint8)
+
+
 def all_cell_logits(patterns: np.ndarray) -> np.ndarray:
     """Vectorized ``cell_logits`` over (rows, cols, GH, GW) patterns →
     float32 (rows, cols, V). Bit-identical to the scalar version."""

@@ -250,25 +250,43 @@ MINHASH_PERMS = 64
 LSH_BANDS = 16
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 SHINGLE_K = 5
-_MERSENNE = (1 << 61) - 1
 
 
-def _minhash_params(n_perms: int = MINHASH_PERMS):
+def _minhash_params(n_perms: int = MINHASH_PERMS) -> np.ndarray:
+    """Seeded odd multipliers for wrapping-multiply permutations (mod 2^64)."""
     rng = np.random.default_rng(0x51A17)
-    a = rng.integers(1, _MERSENNE, size=n_perms, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=n_perms, dtype=np.int64)
-    return a, b
+    return (rng.integers(0, 1 << 63, size=n_perms, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
 
 
-def minhash_signature(text: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    sh = T.shingles(text, SHINGLE_K)
-    if not sh:
-        return np.full(len(a), _MERSENNE, dtype=np.int64)
-    hs = np.array([int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 3
-                   for s in sorted(sh)], dtype=np.int64)
-    # (a*h + b) mod p per permutation, min over shingles
-    vals = (a[None, :].astype(object) * hs[:, None] + b[None, :]) % _MERSENNE
-    return np.min(vals.astype(np.int64), axis=0)
+def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Vectorized 64-bit hashes of the k-byte shingles of the normalized text.
+
+    Normalization matches ``textops.shingles`` (whitespace-collapse +
+    lowercase); hashing packs each k-byte window into a uint64 and mixes it
+    with a fixed odd multiplier — deterministic, no per-shingle Python work.
+    """
+    t = " ".join(text.strip().split()).lower()
+    data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+    if data.size == 0:
+        return np.array([], dtype=np.uint64)
+    if data.size < k:
+        win = np.zeros((1, k), dtype=np.uint8)
+        win[0, :data.size] = data
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(data, k)
+    powers = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
+    packed = (win.astype(np.uint64) * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    mixed = packed * np.uint64(0x9E3779B97F4A7C15)
+    return np.unique(mixed)
+
+
+def minhash_signature(text: str, a: np.ndarray) -> np.ndarray:
+    """MinHash signature: min over shingles of the wrap-mul permutations."""
+    hs = shingle_hashes(text)
+    if hs.size == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    vals = hs[:, None] * a[None, :]          # uint64 wrapping multiply
+    return vals.min(axis=0)
 
 
 def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
@@ -280,50 +298,68 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
     candidate ids back to the corpus — same groupby machinery).
     """
     import ray
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import AggregateFn, Count
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     texts_ref = ray.put({int(i): t for i, t in zip(
         *[docs.to_pandas()[c] for c in ("doc_id", "text")])})
-    a_params, b_params = _minhash_params()
+    a_params = _minhash_params()
 
     def bands(t: pa.Table) -> pa.Table:
-        rows = {"band": [], "bucket": [], "doc_id": []}
-        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = minhash_signature(text, a_params, b_params)
-            for band in range(LSH_BANDS):
-                chunk = sig[band * LSH_ROWS:(band + 1) * LSH_ROWS]
-                bucket = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                rows["band"].append(band)
-                rows["bucket"].append(bucket)
-                rows["doc_id"].append(doc_id)
-        return pa.table({"band": pa.array(rows["band"], pa.int32()),
-                         "bucket": pa.array(rows["bucket"]),
-                         "doc_id": pa.array(rows["doc_id"], pa.int64())})
+        n = t.num_rows
+        bucket = np.empty(n * LSH_BANDS, dtype=np.uint64)
+        doc = np.empty(n * LSH_BANDS, dtype=np.int64)
+        band = np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
+        mix = np.uint64(0xC2B2AE3D27D4EB4F)
+        for i, (doc_id, text) in enumerate(zip(t["doc_id"].to_pylist(),
+                                               t["text"].to_pylist())):
+            sig = minhash_signature(text, a_params).reshape(LSH_BANDS, LSH_ROWS)
+            # fold each band's rows into one 64-bit bucket key
+            bk = sig[:, 0]
+            for r in range(1, LSH_ROWS):
+                bk = (bk * mix) ^ sig[:, r]
+            bucket[i * LSH_BANDS:(i + 1) * LSH_BANDS] = bk
+            doc[i * LSH_BANDS:(i + 1) * LSH_BANDS] = doc_id
+        return pa.table({"band": pa.array(band, pa.int32()),
+                         "bucket": pa.array(bucket.view(np.int64)),
+                         "doc_id": pa.array(doc, pa.int64())})
 
     banded = docs.map_batches(bands, batch_format="pyarrow")
 
-    def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))
-        out = {"a": [], "b": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out["a"].append(ids[i])
-                out["b"].append(ids[j])
-        return pd.DataFrame({"a": pd.Series(out["a"], dtype="int64"),
-                             "b": pd.Series(out["b"], dtype="int64")})
+    # one shuffle: collect doc lists per (band, bucket) with block-level
+    # accumulation (no per-group Python call overhead)
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda x, y: x + y,
+        name="docs",
+        accumulate_block=lambda acc, block: acc + block.column("doc_id").to_pylist(),
+    )
+    buckets = banded.groupby(["band", "bucket"]).aggregate(collect)
 
-    cand = (banded.groupby(["band", "bucket"])
-                  .map_groups(candidates, batch_format="pandas")
-                  .groupby(["a", "b"])
-                  .aggregate(Count(alias_name="n_buckets")))
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        out_a: list = []
+        out_b: list = []
+        for ids in t.column("docs").to_pylist():
+            if len(ids) < 2:
+                continue
+            ids = sorted(set(ids))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64())})
+
+    cand = (buckets.map_batches(emit_pairs, batch_format="pyarrow")
+                   .groupby(["a", "b"])
+                   .aggregate(Count(alias_name="n_buckets")))
 
     def verify(t: pa.Table) -> pa.Table:
         texts = ray.get(texts_ref)
         keep = {"a": [], "b": [], "jaccard": []}
         for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist()):
-            sa, sb = T.shingles(texts[x], SHINGLE_K), T.shingles(texts[y], SHINGLE_K)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
+            sa, sb = shingle_hashes(texts[x]), shingle_hashes(texts[y])
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
             jac = inter / union if union else 0.0
             if jac >= threshold:
                 keep["a"].append(x)

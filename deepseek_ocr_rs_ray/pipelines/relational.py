@@ -201,7 +201,8 @@ def q5_local_supplier_volume(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    joined = li.join(o_small, join_type="inner", num_partitions=16,
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = li.join(o_small, join_type="inner", num_partitions=n_parts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:

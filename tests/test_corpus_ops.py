@@ -1,0 +1,105 @@
+"""Corpus-operator tests: minhash/LSH behavior, simhash locality, ANN
+recall, plus driver-style oracle replication for a few SQL-backed queries."""
+
+import numpy as np
+import pytest
+
+from deepseek_ocr_rs_ray.pipelines import corpus as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def jaccard_est(a: np.ndarray, b: np.ndarray) -> float:
+    return float((a == b).mean())
+
+
+def test_minhash_estimates_jaccard():
+    a = C._minhash_params()
+    t1 = "the quick brown fox jumps over the lazy dog " * 5
+    t2 = "the quick brown fox jumps over the lazy cat " * 5  # near-dup
+    t3 = "completely different content with other words entirely " * 5
+    s1, s2, s3 = (C.minhash_signature(t, a) for t in (t1, t2, t3))
+    h1, h2 = C.shingle_hashes(t1), C.shingle_hashes(t2)
+    true_j = np.intersect1d(h1, h2, assume_unique=True).size / \
+        np.union1d(h1, h2).size
+    assert abs(jaccard_est(s1, s2) - true_j) < 0.25
+    assert jaccard_est(s1, s2) > 0.5
+    assert jaccard_est(s1, s3) < 0.3
+
+
+def test_shingle_hashes_deterministic_and_normalized():
+    a = C.shingle_hashes("Hello   World")
+    b = C.shingle_hashes("hello world")   # case + whitespace collapse
+    assert np.array_equal(a, b)
+    assert C.shingle_hashes("").size == 0
+
+
+def test_simhash_locality():
+    t1 = "spark ray data engine pipeline shuffle partition " * 3
+    t2 = t1 + "extra"
+    t3 = "unrelated words about cooking pasta tomatoes basil"
+    h1, h2, h3 = C.simhash64(t1), C.simhash64(t2), C.simhash64(t3)
+    d12 = bin(h1 ^ h2).count("1")
+    d13 = bin(h1 ^ h3).count("1")
+    assert d12 < d13
+    assert d12 <= 16
+
+
+def test_minhash_pairs_verified_and_recall(ray_session):
+    got = C.q_minhash_pairs(SF, threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    # every returned pair is exactly verified >= threshold (by construction);
+    # recall check: every strongly-similar pair (j >= 0.8) must be found
+    import pyarrow.parquet as pq
+    docs = pq.read_table(SF + "/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    hs = {i: C.shingle_hashes(t) for i, t in zip(ids, texts)}
+    strong = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = hs[ids[i]], hs[ids[j]]
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            jac = inter / union if union else 0.0
+            if jac >= 0.8:
+                strong.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+            if jac >= 0.5:
+                # anything the pipeline returned must agree with brute force
+                pass
+    assert strong.issubset(got_pairs)
+    # and all returned pairs really are >= 0.5 per brute force
+    for a, b in got_pairs:
+        ha, hb = hs[a], hs[b]
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        union = ha.size + hb.size - inter
+        assert inter / union >= 0.5
+
+
+def test_ann_lsh_contains_self_and_agrees_with_bruteforce(ray_session):
+    approx = C.q_ann_lsh(SF).reset_index(drop=True)
+    exact = C.q_knn_cosine(SF).reset_index(drop=True)
+    # the query vector itself always lands in its own bucket
+    assert approx.iloc[0]["vec_id"] == 0 and approx.iloc[0]["cos"] == 1.0
+    # cos values agree with brute force for every common id
+    em = dict(zip(exact["vec_id"], exact["cos"]))
+    for _, r in approx.iterrows():
+        if r["vec_id"] in em:
+            assert r["cos"] == em[r["vec_id"]]
+
+
+@pytest.mark.parametrize("qname", ["q_dedup_exact", "q_token_stats",
+                                   "q_knn_cosine", "q_jaccard_vs_doc0"])
+def test_sql_oracle_parity_small(ray_session, qname):
+    """Driver-gate replication at sf0.001 for a representative slice."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+    from tools.check_correctness import compare, to_pandas
+    import duckdb
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    ray_df = to_pandas(m.queries()[qname](SF))
+    sql_df = con.execute(m.oracle_sql()[qname]).fetchdf()
+    assert compare(qname, ray_df, sql_df) == []
