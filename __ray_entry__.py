@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_top_orders": R.q3_top_orders,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q_hash_join_agg": R.q_hash_join_agg,
         "q_filter_project": R.q_filter_project,
         "q_topk_orders": R.q_topk_orders,
         "q_segment_counts": R.q_segment_counts,
@@ -67,6 +68,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": R.Q1_SQL,
         "q3_top_orders": R.Q3_SQL,
         "q5_local_supplier_volume": R.Q5_SQL,
+        "q_hash_join_agg": R.Q_HASH_JOIN_SQL,
         "q_filter_project": R.Q_FILTER_PROJECT_SQL,
         "q_topk_orders": R.Q_TOPK_SQL,
         "q_segment_counts": R.Q_SEGMENT_SQL,

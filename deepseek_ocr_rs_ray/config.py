@@ -79,10 +79,11 @@ class ExtractConfig:
     # Ray Data execution knobs
     dom_batch_size: int = 256
     ocr_batch_size: int = 8
-    ocr_concurrency: int = 8          # OCR actor-pool size (or (min,max) tuple)
+    # OCR actor-pool size; None = adapt to the cluster (total CPUs - 2)
+    ocr_concurrency: Optional[int] = None
     ocr_num_cpus: float = 1.0
     size_classes: int = 4             # byte-length quantile buckets for skew handling
-    size_sample_rows: int = 8192      # rows sampled (deterministically) for quantile cuts
+    size_sample_rows: int = 4096      # rows sampled (deterministically) for quantile cuts
 
 
 def merge(base, patch):

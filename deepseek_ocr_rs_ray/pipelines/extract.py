@@ -77,10 +77,15 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
     ds = ds.map_batches(DomExtract(cfg, size_cuts), batch_format="pyarrow",
                         batch_size=cfg.dom_batch_size)
     conc = ocr_concurrency if ocr_concurrency is not None else cfg.ocr_concurrency
-    # never let the actor pool reserve every CPU — the read/sink task stages
-    # need slack or the pipeline deadlocks (streaming-executor starvation)
+    # pool sized to ~60% of the cluster: the read + sink task stages carry
+    # real work (parquet decode, zstd encode) and starve behind a pool that
+    # reserves every CPU (worst case: executor deadlock). Empirically on this
+    # host (16 physical cores / 32 SMT threads) 0.6*CPUs maximizes docs/sec
+    # across num_cpus in {4,8,16,32} — see BASELINE.md scaling table.
+    import math
     total_cpus = int(ray.cluster_resources().get("CPU", 4))
-    conc = max(1, min(conc, int((total_cpus - 2) / max(cfg.ocr_num_cpus, 0.25))))
+    cap = max(1, math.ceil(total_cpus * 0.6 / max(cfg.ocr_num_cpus, 0.25)))
+    conc = cap if conc is None else max(1, min(conc, cap))
     ds = ds.map_batches(OcrDecode, fn_constructor_args=(cfg,),
                         batch_format="pyarrow", batch_size=cfg.dom_batch_size,
                         concurrency=conc, num_cpus=cfg.ocr_num_cpus)
@@ -228,8 +233,10 @@ def run_extract_job(input_paths: Sequence[str], out_dir: str,
         os.makedirs(tmp, exist_ok=True)
 
         ds = build_extract_dataset(wave_files, cfg, size_cuts)
+        # batch_size=4096 coalesces map-stage blocks so each size-class shard
+        # file lands ~1k+ rows instead of tens (no tiny-file explosion)
         counters_ds = ds.map_batches(ShardSink(tmp), batch_format="pyarrow",
-                                     batch_size=None)
+                                     batch_size=4096)
         counter_rows = counters_ds.take_all()   # tiny: one row per batch/class
         counters = _aggregate_counters(counter_rows)
         mf.commit_wave(out_dir, wave, [os.path.basename(f) for f in wave_files],

@@ -199,29 +199,41 @@ def q5_local_supplier_volume(sf_dir: str):
 
     o_small = orders.map_batches(orders_in_region, batch_format="pyarrow")
 
+    # the filtered order side is a few % of orders — broadcast it once
+    # (ray.put) and probe per batch instead of an all-to-all hash join.
+    # At 10^12 docs with an unfiltered dimension this becomes Dataset.join
+    # (see q_hash_join_agg for that pattern).
+    order_nation: dict = {}
+    for b in o_small.iter_batches(batch_format="pyarrow"):
+        for k, n in zip(b["o_orderkey"].to_pylist(),
+                        b["cust_nation"].to_pylist()):
+            order_nation[k] = n
+    onat_ref = ray.put(order_nation)
+
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    joined = li.join(o_small, join_type="inner", num_partitions=n_parts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:
+        on = ray.get(onat_ref)
         sn = ray.get(supp_ref)
+        okeys = t["l_orderkey"].to_numpy(zero_copy_only=False)
         skeys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        cust_nat = np.array([on.get(int(k), -1) for k in okeys], dtype=np.int64)
         s_nat = np.array([sn.get(int(k), -2) for k in skeys], dtype=np.int64)
-        keep = s_nat == t["cust_nation"].to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(keep))
-        if t.num_rows == 0:
+        keep = cust_nat == s_nat
+        if not keep.any():
+            # must match the aggregated (group_by-suffixed) schema below
             return pa.table({"nationkey": pa.array([], pa.int64()),
-                             "rev": pa.array([], pa.int64())})
+                             "rev_sum": pa.array([], pa.int64())})
+        t = t.filter(pa.array(keep))
         rev = cents_arr(pc.multiply(t["l_extendedprice"],
                                     pc.subtract(pa.scalar(1.0), t["l_discount"])))
-        tmp = pa.table({"nationkey": t["cust_nation"], "rev": rev})
+        tmp = pa.table({"nationkey": pa.array(cust_nat[keep]), "rev": rev})
         return tmp.group_by("nationkey").aggregate([("rev", "sum")])
 
-    agg = (joined.map_batches(partial, batch_format="pyarrow")
-                 .groupby("nationkey")
-                 .aggregate(Sum("rev_sum", alias_name="revenue_cents")))
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("nationkey")
+             .aggregate(Sum("rev_sum", alias_name="revenue_cents")))
     df = agg.to_pandas()
     df["n_name"] = df["nationkey"].map(nation_names)
     df = df[["n_name", "revenue_cents"]].sort_values(
@@ -243,6 +255,47 @@ WHERE r_name = 'ASIA'
   AND o_orderdate <  TIMESTAMP '{Q5_DATE_HI} 00:00:00'
 GROUP BY n_name
 ORDER BY revenue_cents DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# large ⋈ large partitioned hash join (Dataset.join) + grouped rollup
+# ---------------------------------------------------------------------------
+
+def q_hash_join_agg(sf_dir: str):
+    """Unfiltered lineitem ⋈ orders via Ray's hash-partitioned Dataset.join —
+    the both-sides-big pattern (neither side broadcastable at corpus scale) —
+    then revenue rollup by order priority."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = li.join(orders, join_type="inner", num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = cents_arr(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        tmp = pa.table({"o_orderpriority": t["o_orderpriority"], "rev": rev,
+                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return tmp.group_by("o_orderpriority").aggregate(
+            [("rev", "sum"), ("n", "sum")])
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("o_orderpriority")
+                  .aggregate(Sum("rev_sum", alias_name="revenue_cents"),
+                             Sum("n_sum", alias_name="n_lineitems")))
+
+
+Q_HASH_JOIN_SQL = """
+SELECT o_orderpriority,
+       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """
 
 
