@@ -269,6 +269,106 @@ def tile_count(orig_w: int, orig_h: int, params: TilingParams,
     return n
 
 
+def smart_resize(height: int, width: int, factor: int,
+                 min_pixels: int, max_pixels: int) -> Tuple[int, int]:
+    """Paddle/Dots/GLM size normalization (M8).
+
+    Semantics of crates/infer-paddleocr/src/vision/preprocess.rs:261-300
+    (same math in infer-dots and infer-glm): round dims to a multiple of
+    ``factor``, clamp area into [min_pixels, max_pixels] via sqrt-beta
+    scaling (floor when shrinking, ceil when growing), aspect<=200 guard.
+    Returns (h_bar, w_bar).
+    """
+    def _round(v: float) -> float:  # Rust f64::round = half away from zero
+        return math.copysign(math.floor(abs(v) + 0.5), v)
+
+    factor_f = float(max(factor, 1))
+    h = float(max(height, 1))
+    w = float(max(width, 1))
+    if h < factor_f:
+        w = _round(w * factor_f / h)
+        h = factor_f
+    if w < factor_f:
+        h = _round(h * factor_f / w)
+        w = factor_f
+    aspect = max(h, w) / min(h, w)
+    if aspect > 200.0:
+        raise ValueError(f"aspect ratio exceeds limit ({aspect})")
+    h_bar = _round(h / factor_f) * factor_f
+    w_bar = _round(w / factor_f) * factor_f
+    area = h_bar * w_bar
+    max_p = float(max(max_pixels, 1))
+    min_p = float(max(min_pixels, 1))
+    if area > max_p:
+        beta = math.sqrt((h * w) / max_p)
+        h_bar = math.floor((h / beta) / factor_f) * factor_f
+        w_bar = math.floor((w / beta) / factor_f) * factor_f
+    elif area < min_p:
+        beta = math.sqrt(min_p / (h * w))
+        h_bar = math.ceil((h * beta) / factor_f) * factor_f
+        w_bar = math.ceil((w * beta) / factor_f) * factor_f
+    if h_bar < factor_f or w_bar < factor_f:
+        raise ValueError("resized dimensions smaller than factor")
+    return int(h_bar), int(w_bar)
+
+
+def patchify_row_major(data: np.ndarray, patch: int) -> np.ndarray:
+    """Row-major patch extraction (M9, Paddle layout).
+
+    Semantics of crates/infer-paddleocr/src/vision/preprocess.rs:178-205:
+    per (grid_h, grid_w) patch, values ordered channel-major then row-major
+    within the patch. data: float32 (H, W, 3) → (grid_h*grid_w,
+    3*patch*patch).
+    """
+    h, w, c = data.shape
+    if h % patch or w % patch:
+        raise ValueError(f"dims ({h},{w}) not divisible by patch {patch}")
+    gh, gw = h // patch, w // patch
+    # (gh, patch, gw, patch, c) → (gh, gw, c, patch, patch)
+    x = data.reshape(gh, patch, gw, patch, c).transpose(0, 2, 4, 1, 3)
+    return np.ascontiguousarray(x.reshape(gh * gw, c * patch * patch))
+
+
+def patchify_merge_blocks(data: np.ndarray, patch: int,
+                          merge_size: int) -> np.ndarray:
+    """Merge-block-ordered patch extraction (M9, Dots layout).
+
+    Semantics of crates/infer-dots/src/vision/preprocess.rs:189-232: patches
+    emitted block-by-block over (merge_size × merge_size) superblocks.
+    """
+    h, w, c = data.shape
+    if h % patch or w % patch:
+        raise ValueError(f"dims ({h},{w}) not divisible by patch {patch}")
+    gh, gw = h // patch, w // patch
+    if gh % merge_size or gw % merge_size:
+        raise ValueError(f"grid {gh}x{gw} not divisible by merge {merge_size}")
+    bh, bw = gh // merge_size, gw // merge_size
+    x = data.reshape(bh, merge_size, patch, bw, merge_size, patch, c)
+    # → (bh, bw, merge_h, merge_w, c, patch_y, patch_x)
+    x = x.transpose(0, 3, 1, 4, 6, 2, 5)
+    return np.ascontiguousarray(x.reshape(gh * gw, c * patch * patch))
+
+
+def tile_temporal(patches: np.ndarray, temporal: int) -> np.ndarray:
+    """Temporal tiling (preprocess.rs:207-217): repeat the frame t times."""
+    if temporal <= 1:
+        return patches
+    return np.concatenate([patches] * temporal, axis=0)
+
+
+def position_metadata(grid: Tuple[int, int, int]
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-patch position/height/width ids (M10).
+
+    Semantics of crates/infer-paddleocr/src/vision/preprocess.rs:219-235.
+    """
+    t, h, w = grid
+    rows = np.repeat(np.arange(h, dtype=np.int64), w)
+    cols = np.tile(np.arange(w, dtype=np.int64), h)
+    pos = rows * w + cols
+    return (np.tile(pos, t), np.tile(rows, t), np.tile(cols, t))
+
+
 def normalize_chw(img: np.ndarray) -> np.ndarray:
     """uint8 HWC → float32 CHW normalized (x/255-0.5)/0.5 (model/mod.rs:2332-2347)."""
     x = img.astype(np.float32) / np.float32(255.0)

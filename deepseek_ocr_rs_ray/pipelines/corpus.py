@@ -608,6 +608,54 @@ def x_payload_meta(sf_dir: str):
     return pages.map_batches(f, batch_format="pyarrow")
 
 
+def _payload_dataset(sf_dir: str):
+    """(url, payload) rows for the OCR-routed pages of the sf fixture."""
+    import glob
+    import ray.data
+    from ..functions.dom import extract_dom
+    d = _pages_dir_for(sf_dir)
+    pages = ray.data.read_parquet(sorted(glob.glob(d + "/*.parquet")),
+                                  columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        urls, payloads = [], []
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            res = extract_dom(html)
+            if res["payload"] is not None:
+                urls.append(url)
+                payloads.append(res["payload"])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+def x_image_thumbnails(sf_dir: str):
+    """Multimodal resize stage: RAW2 decode → 64px bicubic thumb → re-encode
+    (actor pool; rows-only)."""
+    from ..stages.multimodal import ImageResizeStage
+    ds = _payload_dataset(sf_dir)
+    return ds.map_batches(ImageResizeStage, fn_constructor_kwargs={"thumb": 64},
+                          batch_format="pyarrow", batch_size=16, concurrency=2)
+
+
+def x_image_features(sf_dir: str):
+    """Multimodal feature-extract stage: payload → list<float> embedding."""
+    from ..stages.multimodal import ImageFeatureStage
+    ds = _payload_dataset(sf_dir)
+    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                          batch_size=32, concurrency=2)
+
+
+def x_frame_samples(sf_dir: str):
+    """Multimodal frame-sample stage (deterministic raw2 clip fake)."""
+    from ..stages.multimodal import FrameSampleStage
+    ds = _payload_dataset(sf_dir)
+    return ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                          fn_constructor_kwargs={"frame_h": 64, "stride": 2},
+                          batch_size=32, concurrency=2)
+
+
 def x_extract_manifest(sf_dir: str):
     """Run the resumable job (cached across calls via committed waves) and
     return its lineage manifest — exercises commit/resume as an operator."""

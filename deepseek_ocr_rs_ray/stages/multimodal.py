@@ -1,0 +1,167 @@
+"""Multimodal column stages: opaque ``binary`` payloads + typed metadata,
+processed by actor-pool ``map_batches`` stages.
+
+The pipeline pattern is the product here — schema, batch sizing, actor
+signature, output layout — with the RAW2 codec (functions/raster.py) as the
+deterministic stand-in for real image codecs (none are in this container).
+Stages:
+
+- ``ImageDecodeMeta`` — header-only probe (no decompression): the cheap
+  schema pass over a binary column.
+- ``ImageResizeStage`` — decode → exact fixed-point bicubic thumbnail →
+  re-encode; binary in, binary out.
+- ``ImageFeatureStage`` — decode → deterministic grid features (mean-pooled
+  intensity + ink density) → ``list<float>`` embedding column, ready for
+  the similarity-search operators.
+- ``FrameSampleStage`` — video frame sampling. Real codecs are STUBBED
+  (NotImplementedError); the deterministic fake treats a RAW2 payload as a
+  T-frame clip (vertical stack) and samples every k-th frame.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import raster
+from ..functions.imageops import resize_bicubic
+
+REAL_VIDEO_CODECS = False  # no ffmpeg/PIL in this container
+
+
+class ImageDecodeMeta:
+    """Payload header metadata, one row per decodable payload."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"url": [], "width": [], "height": [], "glyph_scale": [],
+                "nbytes": []}
+        for url, payload in zip(batch.column("url").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            meta = raster.payload_meta(payload) if payload else None
+            if meta is None:
+                continue
+            rows["url"].append(url)
+            rows["width"].append(meta["width"])
+            rows["height"].append(meta["height"])
+            rows["glyph_scale"].append(meta["glyph_scale"])
+            rows["nbytes"].append(meta["nbytes"])
+        return pa.table({"url": pa.array(rows["url"], pa.string()),
+                         "width": pa.array(rows["width"], pa.int64()),
+                         "height": pa.array(rows["height"], pa.int64()),
+                         "glyph_scale": pa.array(rows["glyph_scale"], pa.int64()),
+                         "nbytes": pa.array(rows["nbytes"], pa.int64())})
+
+
+class ImageResizeStage:
+    """Decode → exact bicubic thumbnail → re-encode (binary in/out)."""
+
+    def __init__(self, thumb: int = 64) -> None:
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, thumbs, widths, heights = [], [], [], []
+        for url, payload in zip(batch.column("url").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            if not payload:
+                continue
+            try:
+                img, scale, margin = raster.decode_payload(payload)
+            except ValueError:
+                continue
+            small = resize_bicubic(img, self.thumb, self.thumb)
+            thumbs.append(raster.encode_payload(small, scale, margin))
+            urls.append(url)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "thumb": pa.array(thumbs, pa.binary()),
+                         "orig_width": pa.array(widths, pa.int64()),
+                         "orig_height": pa.array(heights, pa.int64())})
+
+
+FEATURE_GRID = 4  # 4x4 mean-pool → 16 intensity dims + 1 ink-density dim
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """Deterministic (FEATURE_GRID² + 1)-dim features: mean-pooled grayscale
+    grid + global ink density, float32 in [0, 1]."""
+    g = img[:, :, 0].astype(np.float64)
+    h, w = g.shape
+    ys = np.linspace(0, h, FEATURE_GRID + 1).astype(np.int64)
+    xs = np.linspace(0, w, FEATURE_GRID + 1).astype(np.int64)
+    feats = np.empty(FEATURE_GRID * FEATURE_GRID + 1, dtype=np.float64)
+    k = 0
+    for i in range(FEATURE_GRID):
+        for j in range(FEATURE_GRID):
+            cell = g[ys[i]:max(ys[i + 1], ys[i] + 1),
+                     xs[j]:max(xs[j + 1], xs[j] + 1)]
+            feats[k] = cell.mean() / 255.0
+            k += 1
+    feats[k] = float((g < 128).mean())
+    return feats.astype(np.float32)
+
+
+class ImageFeatureStage:
+    """Decode → feature vector column (list<float>), the embedding producer
+    feeding the similarity-search operators."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, vecs = [], []
+        for url, payload in zip(batch.column("url").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            if not payload:
+                continue
+            try:
+                img, _scale, _margin = raster.decode_payload(payload)
+            except ValueError:
+                continue
+            urls.append(url)
+            vecs.append(image_features(img).tolist())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "features": pa.array(vecs, pa.list_(pa.float32()))})
+
+
+class FrameSampleStage:
+    """Video frame sampling over an opaque binary column.
+
+    Real containers (mp4/webm) are NOT supported here — the decoder stack
+    isn't in this environment; constructing with ``codec != "raw2"`` raises
+    NotImplementedError at init (per-actor, so misconfiguration fails fast).
+    The deterministic fake treats a RAW2 payload of height T*frame_h as a
+    T-frame clip and emits every ``stride``-th frame's metadata + features.
+    """
+
+    def __init__(self, frame_h: int = 64, stride: int = 2,
+                 codec: str = "raw2") -> None:
+        if codec != "raw2":
+            raise NotImplementedError(
+                f"video codec {codec!r} requires ffmpeg/PyAV, absent from "
+                "this container — only the deterministic 'raw2' clip format "
+                "is supported")
+        self.frame_h = frame_h
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"url": [], "frame_index": [], "features": []}
+        for url, payload in zip(batch.column("url").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            if not payload:
+                continue
+            try:
+                img, _scale, _margin = raster.decode_payload(payload)
+            except ValueError:
+                continue
+            n_frames = max(img.shape[0] // self.frame_h, 1)
+            for t in range(0, n_frames, self.stride):
+                frame = img[t * self.frame_h:(t + 1) * self.frame_h]
+                if frame.size == 0:
+                    continue
+                rows["url"].append(url)
+                rows["frame_index"].append(t)
+                rows["features"].append(image_features(frame).tolist())
+        return pa.table({"url": pa.array(rows["url"], pa.string()),
+                         "frame_index": pa.array(rows["frame_index"], pa.int64()),
+                         "features": pa.array(rows["features"],
+                                              pa.list_(pa.float32()))})
