@@ -24,10 +24,10 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..config import DecodeParameters, DomParams, ExtractConfig, TilingParams, VisionSettings
+from ..config import DecodeParameters, ExtractConfig, TilingParams, VisionSettings
 from . import raster
 from .dom import extract_dom
-from .imageops import build_global_view, dynamic_tile, tile_count
+from .imageops import tile_count
 from .sampling import NgramBanState, select_token_id
 from .textops import normalize_text
 

@@ -70,10 +70,13 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
     """Lazy Dataset of extraction results (no sink attached)."""
     import ray.data
 
+    from ..sources.pages import read_pages, validate_pages_schema
+    if paths:
+        import pyarrow.parquet as pq
+        validate_pages_schema(pq.read_schema(sorted(paths)[0]))
     if size_cuts is None:
         size_cuts = compute_size_cuts(paths, cfg)
-    ds = ray.data.read_parquet(list(paths),
-                               columns=["url", "warc_ts", "html", "lang"])
+    ds = read_pages(paths, columns=["url", "warc_ts", "html", "lang"])
     ds = ds.map_batches(DomExtract(cfg, size_cuts), batch_format="pyarrow",
                         batch_size=cfg.dom_batch_size)
     conc = ocr_concurrency if ocr_concurrency is not None else cfg.ocr_concurrency
