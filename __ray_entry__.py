@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_cosine": C.q_knn_cosine,
         "q_embed_dup_pairs": C.q_embed_dup_pairs,
         "q_ann_lsh": C.q_ann_lsh,
+        "q_ann_ivf": C.q_ann_ivf,
         # extraction flagship + multimodal
         "x_extract_pages": C.x_extract_pages,
         "x_payload_meta": C.x_payload_meta,

@@ -511,6 +511,72 @@ SELECT label, a, b, cos FROM cos WHERE cos >= 0.4
 """
 
 
+IVF_CLUSTERS = 16
+IVF_PROBES = 4
+IVF_ITERS = 8
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Deterministic mini k-means over a driver-side sample (the coarse
+    quantizer an IVF index trains once and broadcasts).
+
+    Seeded init + fixed Lloyd iterations + first-index tie-break on empty
+    clusters → bit-reproducible centroids.
+    """
+    emb = read_table(sf_dir, "embeddings", ["embedding"])
+    sample = []
+    for b in emb.iter_batches(batch_format="pyarrow"):
+        sample.extend(b.column("embedding").to_pylist())
+        if len(sample) >= 2048:
+            break
+    x = np.array(sample[:2048], dtype=np.float32).astype(np.float64)
+    xn = x / np.sqrt(np.einsum("ij,ij->i", x, x))[:, None]
+    rng = np.random.default_rng(0x1F5)
+    k = min(IVF_CLUSTERS, len(xn))
+    cent = xn[rng.choice(len(xn), size=k, replace=False)]
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(xn @ cent.T, axis=1)          # cosine on unit vecs
+        for c in range(k):
+            members = xn[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.sqrt(np.dot(m, m))
+                if norm > 0:
+                    cent[c] = m / norm
+    return cent
+
+
+def q_ann_ivf(sf_dir: str, k: int = 10):
+    """IVF-style ANN (the scale path): broadcast seeded-k-means centroids,
+    per-batch assignment, exact rescoring only inside the query's IVF_PROBES
+    nearest cells (rows-only; recall vs brute force tested in pytest)."""
+    import ray
+    q = _load_query_vec(sf_dir)
+    cent = _ivf_centroids(sf_dir)
+    qn = q / np.sqrt(np.dot(q, q))
+    probe_cells = set(np.argsort(-(cent @ qn), kind="stable")[:IVF_PROBES].tolist())
+    state = ray.put((q, cent, probe_cells))
+
+    def cell_topk(t: pa.Table) -> pa.Table:
+        qv, c, cells = ray.get(state)
+        embs = np.array(t.column("embedding").to_pylist(),
+                        dtype=np.float32).astype(np.float64)
+        en = embs / np.sqrt(np.einsum("ij,ij->i", embs, embs))[:, None]
+        assign = np.argmax(en @ c.T, axis=1)
+        keep = np.array([int(a) in cells for a in assign])
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        cos = round6_np(_batch_cosines(t, qv))
+        return pa.table({"vec_id": t["vec_id"], "cos": pa.array(cos)})
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = emb.map_batches(cell_topk, batch_format="pyarrow").to_pandas()
+    return (df.sort_values(["cos", "vec_id"], ascending=[False, True])
+              .head(k).reset_index(drop=True))
+
+
 LSH_PLANES = 12
 
 

@@ -87,7 +87,9 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
     # across num_cpus in {4,8,16,32} — see BASELINE.md scaling table.
     import math
     total_cpus = int(ray.cluster_resources().get("CPU", 4))
-    cap = max(1, math.ceil(total_cpus * 0.6 / max(cfg.ocr_num_cpus, 0.25)))
+    slots = total_cpus / max(cfg.ocr_num_cpus, 0.25)
+    # hard cap at slots-1: a pool holding every CPU deadlocks the executor
+    cap = max(1, min(math.ceil(slots * 0.6), int(slots) - 1))
     conc = cap if conc is None else max(1, min(conc, cap))
     ds = ds.map_batches(OcrDecode, fn_constructor_args=(cfg,),
                         batch_format="pyarrow", batch_size=cfg.dom_batch_size,

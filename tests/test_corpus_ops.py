@@ -76,6 +76,23 @@ def test_minhash_pairs_verified_and_recall(ray_session):
         assert inter / union >= 0.5
 
 
+def test_ann_ivf_recall(ray_session):
+    approx = C.q_ann_ivf(SF).reset_index(drop=True)
+    exact = C.q_knn_cosine(SF).reset_index(drop=True)
+    assert approx.iloc[0]["vec_id"] == 0 and approx.iloc[0]["cos"] == 1.0
+    # probing 4/16 cells must recover a reasonable share of the true top-10,
+    # and every returned cos must agree with brute force
+    em = dict(zip(exact["vec_id"], exact["cos"]))
+    overlap = sum(1 for v in approx["vec_id"] if v in em)
+    assert overlap >= 3
+    for _, r in approx.iterrows():
+        if r["vec_id"] in em:
+            assert r["cos"] == em[r["vec_id"]]
+    # determinism: centroids and result reproduce exactly
+    again = C.q_ann_ivf(SF).reset_index(drop=True)
+    assert again.equals(approx)
+
+
 def test_ann_lsh_contains_self_and_agrees_with_bruteforce(ray_session):
     approx = C.q_ann_lsh(SF).reset_index(drop=True)
     exact = C.q_knn_cosine(SF).reset_index(drop=True)
