@@ -131,6 +131,8 @@ def extract_row(url: str, html_bytes: bytes,
 
     Returns {url, extracted_text, spans: [(start,end)...], method, n_tiles}.
     """
+    if html_bytes is None:
+        html_bytes = b""
     dom = extract_dom(html_bytes, cfg.dom)
     if dom["ok"] or dom["payload"] is None:
         return {

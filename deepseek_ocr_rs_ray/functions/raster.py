@@ -220,13 +220,20 @@ def sample_patterns_direct(img: np.ndarray, base_size: int, glyph_scale: int,
     rows_needed = np.unique(idx_y)
     pos = np.searchsorted(rows_needed, idx_y)                    # (Y, ky)
 
-    src = img[rows_needed][:, :, 0].astype(np.int64)             # (R, w)
-    gathered = src[:, idx_x]                                     # (R, X, kx)
-    acc = np.einsum("rxk,xk->rx", gathered, sx_co[ux]) + ROUNDING_BIAS
+    # float64 math is exact here (all values integers < 2^53) and ~10x
+    # faster than int64 einsum; gather uint8 first, convert only the
+    # gathered windows
+    src = img[rows_needed][:, :, 0]                              # (R, w) uint8
+    gathered = src[:, idx_x].astype(np.float64)                  # (R, X, kx)
+    acc = np.einsum("rxk,xk->rx", gathered,
+                    sx_co[ux].astype(np.float64)).astype(np.int64)
+    acc += ROUNDING_BIAS
     hv = np.clip(acc >> PRECISION_BITS, 0, 255)                  # (R, X)
 
-    g2 = hv[pos]                                                 # (Y, ky, X)
-    acc2 = np.einsum("ykx,yk->yx", g2, sy_co[uy]) + ROUNDING_BIAS
+    g2 = hv[pos].astype(np.float64)                              # (Y, ky, X)
+    acc2 = np.einsum("ykx,yk->yx", g2,
+                     sy_co[uy].astype(np.float64)).astype(np.int64)
+    acc2 += ROUNDING_BIAS
     cv = np.clip(acc2 >> PRECISION_BITS, 0, 255)                 # (Y, X)
 
     sampled = cv[inv_y[:, None, :, None], inv_x[None, :, None, :]]

@@ -154,7 +154,12 @@ FROM documents GROUP BY md5(text)
 
 def q_jaccard_vs_doc0(sf_dir: str):
     """Word-set Jaccard of every document against doc_id=0 (n-gram Jaccard
-    with n=1; the SQL oracle uses DuckDB list ops on the same tokenization)."""
+    with n=1; the SQL oracle uses DuckDB list ops on the same tokenization).
+
+    Scale note: the query document is fetched once (streamed scan, stops at
+    the first matching batch) and its token set broadcast via ray.put; the
+    scoring pass is embarrassingly parallel with no shuffle.
+    """
     import ray
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     q_text = None

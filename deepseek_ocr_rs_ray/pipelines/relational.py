@@ -91,6 +91,12 @@ GROUP BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 def q3_top_orders(sf_dir: str):
+    """Scale note: the filtered-customer key set and the filtered-order map
+    are dimension-sized (a few % of orders); they are collected once on the
+    driver and broadcast via ray.put — the guide's small-side join pattern.
+    At a scale where filtered orders stop fitting driver memory, this
+    becomes a Dataset.join (see q_hash_join_agg) with the same aggregates.
+    """
     import ray
     from ray.data.aggregate import Sum
 

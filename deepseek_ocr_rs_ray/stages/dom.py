@@ -58,6 +58,8 @@ class DomExtract:
         dom_params = self.cfg.dom
 
         for url, html in zip(urls, htmls):
+            if html is None:           # null payloads occur in real crawls
+                html = b""
             res = extract_dom(html, dom_params)
             html_bytes.append(len(html))
             size_classes.append(size_class_of(len(html), cuts))

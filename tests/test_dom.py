@@ -88,3 +88,20 @@ def test_degenerate_html():
     assert res["text"] == "" and not res["ok"] and res["payload"] is None
     res = extract_dom(b"plain text, no tags at all, but reasonably long content here ok")
     assert "plain text" in res["text"]
+
+
+def test_null_html_through_batch_stage():
+    import pyarrow as pa
+
+    from deepseek_ocr_rs_ray.functions.extract_row import extract_row
+    from deepseek_ocr_rs_ray.stages.dom import DomExtract
+    batch = pa.table({
+        "url": pa.array(["u1"]),
+        "warc_ts": pa.array([1], pa.timestamp("us")),
+        "html": pa.array([None], pa.binary()),
+        "lang": pa.array(["en"]),
+    })
+    out = DomExtract()(batch)
+    assert out.column("method").to_pylist() == ["dom"]
+    assert out.column("extracted_text").to_pylist() == [""]
+    assert extract_row("u", None)["method"] == "dom"
