@@ -303,11 +303,14 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
     candidate ids back to the corpus — same groupby machinery).
     """
     import ray
-    from ray.data.aggregate import AggregateFn, Count
+    from ray.data.aggregate import Count
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     texts_ref = ray.put({int(i): t for i, t in zip(
         *[docs.to_pandas()[c] for c in ("doc_id", "text")])})
     a_params = _minhash_params()
+    N_SHARDS = 256  # shuffle key: hash-shard of the bucket, NOT the bucket
+    # itself — co-locates equal buckets while keeping the group count (and
+    # the per-group call overhead) bounded regardless of corpus size
 
     def bands(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -324,44 +327,45 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
                 bk = (bk * mix) ^ sig[:, r]
             bucket[i * LSH_BANDS:(i + 1) * LSH_BANDS] = bk
             doc[i * LSH_BANDS:(i + 1) * LSH_BANDS] = doc_id
-        return pa.table({"band": pa.array(band, pa.int32()),
+        shard = (bucket & np.uint64(N_SHARDS - 1)).astype(np.int64)
+        return pa.table({"shard": pa.array(shard),
+                         "band": pa.array(band, pa.int32()),
                          "bucket": pa.array(bucket.view(np.int64)),
                          "doc_id": pa.array(doc, pa.int64())})
 
     banded = docs.map_batches(bands, batch_format="pyarrow")
 
-    # one shuffle: collect doc lists per (band, bucket) with block-level
-    # accumulation (no per-group Python call overhead)
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda x, y: x + y,
-        name="docs",
-        accumulate_block=lambda acc, block: acc + block.column("doc_id").to_pylist(),
-    )
-    buckets = banded.groupby(["band", "bucket"]).aggregate(collect)
-
-    def emit_pairs(t: pa.Table) -> pa.Table:
+    def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a: list = []
         out_b: list = []
-        for ids in t.column("docs").to_pylist():
+        for _, ids in g.groupby(["band", "bucket"])["doc_id"]:
             if len(ids) < 2:
                 continue
-            ids = sorted(set(ids))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pa.table({"a": pa.array(out_a, pa.int64()),
-                         "b": pa.array(out_b, pa.int64())})
+            uniq = sorted(set(int(x) for x in ids))
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    out_a.append(uniq[i])
+                    out_b.append(uniq[j])
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
 
-    cand = (buckets.map_batches(emit_pairs, batch_format="pyarrow")
-                   .groupby(["a", "b"])
-                   .aggregate(Count(alias_name="n_buckets")))
+    cand = banded.groupby("shard").map_groups(local_pairs,
+                                              batch_format="pandas")
 
+    # Verify BEFORE any global pair dedupe: a groupby over the full
+    # candidate set is a high-cardinality shuffle (~200k distinct pairs at
+    # sf0.1 cost 100+s in Ray's sort-based aggregate). Verification is
+    # deterministic, so duplicate candidates (same pair colliding in
+    # several bands) just re-derive the same row; in-batch dedupe removes
+    # most, and the final drop_duplicates runs over the tiny survivor set.
     def verify(t: pa.Table) -> pa.Table:
         texts = ray.get(texts_ref)
+        seen = set()
         keep = {"a": [], "b": [], "jaccard": []}
         for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            if (x, y) in seen:
+                continue
+            seen.add((x, y))
             sa, sb = shingle_hashes(texts[x]), shingle_hashes(texts[y])
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
@@ -374,7 +378,10 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
                          "b": pa.array(keep["b"], pa.int64()),
                          "jaccard": pa.array(keep["jaccard"], pa.float64())})
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+    survivors = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
+    survivors = (survivors.drop_duplicates(["a", "b"])
+                 .sort_values(["a", "b"]).reset_index(drop=True))
+    return survivors
 
 
 def simhash64(text: str) -> int:

@@ -531,20 +531,28 @@ def q_asof_last_order(sf_dir: str):
                .groupby(["o_custkey", "o_orderdate"])
                .aggregate(Max("o_orderkey_max", alias_name="o_orderkey")))
 
-    # co-group both sides by user key, merge_asof inside each group
-    ev_tagged = events.map_batches(
-        lambda t: pa.table({"k": t["user_id"], "event_id": t["event_id"],
-                            "ts": t["ts"],
-                            "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
-                            "side": pa.array(["e"] * t.num_rows)}),
-        batch_format="pyarrow")
-    or_tagged = o.map_batches(
-        lambda t: pa.table({"k": pc.cast(t["o_custkey"], pa.int64()),
-                            "event_id": pa.nulls(t.num_rows, pa.int64()),
-                            "ts": t["o_orderdate"],
-                            "o_orderkey": t["o_orderkey"],
-                            "side": pa.array(["o"] * t.num_rows)}),
-        batch_format="pyarrow")
+    # co-group both sides by a HASHED user bucket (not per-user groups: at
+    # N keys that is N python calls through map_groups; ~64 buckets keep the
+    # shuffle and the per-group overhead bounded), then one vectorized
+    # pd.merge_asof(by="k") per bucket handles every user in the bucket.
+    N_BUCKETS = 64
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["user_id"], pa.int64())
+        return pa.table({"bucket": pc.bit_wise_and(k, N_BUCKETS - 1),
+                         "k": k, "event_id": t["event_id"], "ts": t["ts"],
+                         "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+                         "side": pa.array(["e"] * t.num_rows)})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["o_custkey"], pa.int64())
+        return pa.table({"bucket": pc.bit_wise_and(k, N_BUCKETS - 1),
+                         "k": k, "event_id": pa.nulls(t.num_rows, pa.int64()),
+                         "ts": t["o_orderdate"], "o_orderkey": t["o_orderkey"],
+                         "side": pa.array(["o"] * t.num_rows)})
+
+    ev_tagged = events.map_batches(tag_events, batch_format="pyarrow")
+    or_tagged = o.map_batches(tag_orders, batch_format="pyarrow")
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
         ev = g[g["side"] == "e"].sort_values(["ts", "event_id"])
@@ -553,15 +561,14 @@ def q_asof_last_order(sf_dir: str):
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "user_id": pd.Series([], dtype="int64"),
                                  "last_orderkey": pd.Series([], dtype="int64")})
-        merged = pd.merge_asof(ev[["ts", "event_id"]],
-                               od[["ts", "o_orderkey"]],
-                               on="ts", direction="backward")
+        merged = pd.merge_asof(ev[["ts", "k", "event_id"]],
+                               od[["ts", "k", "o_orderkey"]],
+                               on="ts", by="k", direction="backward")
         return pd.DataFrame({"event_id": merged["event_id"].astype("int64"),
-                             "user_id": np.full(len(merged), g["k"].iloc[0],
-                                                dtype=np.int64),
+                             "user_id": merged["k"].astype("int64"),
                              "last_orderkey": merged["o_orderkey"]})
 
-    return ev_tagged.union(or_tagged).groupby("k").map_groups(
+    return ev_tagged.union(or_tagged).groupby("bucket").map_groups(
         asof, batch_format="pandas")
 
 

@@ -46,7 +46,7 @@ def test_simhash_locality():
 
 
 def test_minhash_pairs_verified_and_recall(ray_session):
-    got = C.q_minhash_pairs(SF, threshold=0.5).to_pandas()
+    got = C.q_minhash_pairs(SF, threshold=0.5)  # returns pandas now
     got_pairs = set(zip(got["a"], got["b"]))
     # every returned pair is exactly verified >= threshold (by construction);
     # recall check: every strongly-similar pair (j >= 0.8) must be found
