@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_extract_pages": C.x_extract_pages,
         "x_payload_meta": C.x_payload_meta,
         "x_extract_manifest": C.x_extract_manifest,
+        "x_extract_stage_totals": C.x_extract_stage_totals,
         "x_image_thumbnails": C.x_image_thumbnails,
         "x_image_features": C.x_image_features,
         "x_frame_samples": C.x_frame_samples,

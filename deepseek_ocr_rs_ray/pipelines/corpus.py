@@ -746,3 +746,14 @@ def x_extract_manifest(sf_dir: str):
     t = mfst.read_manifest(out)
     return t.select(["partition_id", "size_class", "row_count", "ocr_rows",
                      "content_hash", "status"])
+
+
+def x_extract_stage_totals(sf_dir: str):
+    """G1 stage-totals rollup over the job's per-wave metrics (count /
+    total / min / max per stage — crates/cli/src/bench.rs:139-172)."""
+    import glob
+    from .extract import read_stage_totals, run_extract_job
+    d = _pages_dir_for(sf_dir)
+    out = d.rstrip("/") + "_out"
+    run_extract_job(sorted(glob.glob(d + "/*.parquet")), out, wave_size=8)
+    return read_stage_totals(out)

@@ -250,7 +250,46 @@ def run_extract_job(input_paths: Sequence[str], out_dir: str,
         summary["waves_run"] += 1
         summary["rows"] += sum(c["row_count"] for c in counters)
         summary["ocr_rows"] += sum(c["ocr_rows"] for c in counters)
+
+    if summary["waves_run"]:
+        _write_job_report(out_dir)
     return summary
+
+
+def _write_job_report(out_dir: str) -> None:
+    """Stage-totals JSON over all committed waves (K2 analogue,
+    crates/cli/src/bench.rs:200-249)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.pages import write_bench_report
+    mdir = os.path.join(out_dir, "_metrics")
+    if not os.path.isdir(mdir):
+        return
+    rows = []
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(mdir, name))
+        for r in t.to_pylist():
+            rows.append({"stage": r["stage"], "count": r["count"],
+                         "total_ms": r["total_ms"]})
+    if rows:
+        write_bench_report(rows, os.path.join(mdir, "report.json"))
+
+
+def read_stage_totals(out_dir: str):
+    """G1-style rollup: per-wave metrics → groupby(stage) totals Dataset."""
+    import glob as _glob
+
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+    files = sorted(_glob.glob(os.path.join(out_dir, "_metrics", "*.parquet")))
+    ds = ray.data.read_parquet(files)
+    return (ds.groupby("stage")
+              .aggregate(Sum("count", alias_name="count"),
+                         Sum("total_ms", alias_name="total_ms"),
+                         Min("min_ms", alias_name="min_ms"),
+                         Max("max_ms", alias_name="max_ms")))
 
 
 def output_files(out_dir: str) -> List[str]:
