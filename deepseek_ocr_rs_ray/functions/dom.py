@@ -86,7 +86,9 @@ def parse_blocks(page: str):
             text = page[pos:m.start()]
             stripped = text.strip()
             if stripped:
-                collapsed = _WS_RUN_RE.sub(" ", stripped)
+                # " ".join(split()) == collapse whitespace runs; ~4x faster
+                # than a regex sub on the hot path
+                collapsed = " ".join(stripped.split())
                 cur.segments.append((pos, m.start(), collapsed))
                 cur.total_chars += len(collapsed)
                 if anchor_depth > 0:
@@ -126,7 +128,7 @@ def parse_blocks(page: str):
         text = page[pos:n]
         stripped = text.strip()
         if stripped:
-            collapsed = _WS_RUN_RE.sub(" ", stripped)
+            collapsed = " ".join(stripped.split())
             cur.segments.append((pos, n, collapsed))
             cur.total_chars += len(collapsed)
             if anchor_depth > 0:
