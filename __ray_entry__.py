@@ -40,7 +40,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming-shaped (§2.9): windows, sessions, as-of
         "q_events_hourly": R.q_events_hourly,
         "q_events_sessionize": R.q_events_sessionize,
+        "q_events_sliding": R.q_events_sliding,
         "q_asof_last_order": R.q_asof_last_order,
+        "q_sample_docs": R.q_sample_docs,
         # text analysis
         "q_token_stats": C.q_token_stats,
         "q_quality_by_lang": C.q_quality_by_lang,
@@ -81,7 +83,9 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_by_month": R.Q_MONTH_SQL,
         "q_events_hourly": R.Q_EVENTS_HOURLY_SQL,
         "q_events_sessionize": R.Q_SESSIONIZE_SQL,
+        "q_events_sliding": R.Q_EVENTS_SLIDING_SQL,
         "q_asof_last_order": R.Q_ASOF_SQL,
+        "q_sample_docs": R.Q_SAMPLE_SQL,
         "q_token_stats": C.Q_TOKEN_STATS_SQL,
         "q_quality_by_lang": C.Q_QUALITY_SQL,
         "q_doc_fingerprint": C.Q_FINGERPRINT_SQL,

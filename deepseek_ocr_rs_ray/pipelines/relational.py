@@ -478,8 +478,85 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
-# sessionization: gap-based windows per key (map_groups over sorted group)
+# sliding window: vectorized event→window expansion, then grouped agg
 # ---------------------------------------------------------------------------
+
+SLIDE_US = 15 * 60 * 1_000_000          # 15-minute slide
+WINDOW_US = 60 * 60 * 1_000_000         # 1-hour window
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding 1h windows every 15min: each event expands to the <=4 windows
+    containing it (vectorized np.repeat inside map_batches — the flat_map
+    shape without per-row python), then the usual pre-agg + groupby."""
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        # first slide-aligned window start in (ts - WINDOW, ts]
+        first_ws = (np.floor_divide(ts - WINDOW_US, SLIDE_US) + 1) * SLIDE_US
+        k = WINDOW_US // SLIDE_US
+        offs = np.arange(k, dtype=np.int64) * SLIDE_US
+        ws = (first_ws[:, None] + offs[None, :]).reshape(-1)
+        rep_ts = np.repeat(ts, k)
+        keep = (rep_ts >= ws) & (rep_ts < ws + WINDOW_US)
+        etype = np.repeat(np.asarray(t["event_type"].to_pylist(), dtype=object), k)
+        cents = np.repeat(cents_np(t["value"].to_numpy(zero_copy_only=False)), k)
+        tmp = pa.table({
+            "event_type": pa.array(etype[keep].tolist(), pa.string()),
+            "window_start": pa.array(ws[keep].view("datetime64[us]")),
+            "cents": pa.array(cents[keep]),
+            "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+        })
+        return tmp.group_by(["event_type", "window_start"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+
+    return (ds.map_batches(expand, batch_format="pyarrow")
+              .groupby(["event_type", "window_start"])
+              .aggregate(Sum("cents_sum", alias_name="sum_value_cents"),
+                         Sum("n_sum", alias_name="n_events")))
+
+
+Q_EVENTS_SLIDING_SQL = """
+WITH w AS (
+  SELECT DISTINCT event_type,
+         to_timestamp((epoch_us(ts) // 900000000 - s.i) * 900000000 / 1000000)::TIMESTAMP AS window_start
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS i) s
+  WHERE epoch_us(ts) // 900000000 - s.i >= 0
+)
+SELECT e.event_type, w.window_start,
+       SUM(CAST(FLOOR(e.value*100 + 0.5) AS BIGINT)) AS sum_value_cents,
+       COUNT(*) AS n_events
+FROM events e JOIN w
+  ON e.event_type = w.event_type
+ AND e.ts >= w.window_start
+ AND e.ts <  w.window_start + INTERVAL 1 HOUR
+GROUP BY e.event_type, w.window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (T3's seeded-sampling contract, SQL-matchable)
+# ---------------------------------------------------------------------------
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic 1/16 sample of documents by md5-prefix — the
+    distributed analogue of seeded sampling (crates/core/src/sampling.rs:26-31:
+    reproducible selection independent of partitioning/retries)."""
+    from ..functions.textops import md5_hex
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        keep_ids = [i for i, s in zip(ids, texts) if md5_hex(s)[0] == "0"]
+        return pa.table({"doc_id": pa.array(keep_ids, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q_SAMPLE_SQL = "SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) = '0'"
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
