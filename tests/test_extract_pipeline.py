@@ -40,11 +40,15 @@ def _norm(df):
 
 
 def assert_matches_golden(df, golden):
+    from deepseek_ocr_rs_ray.functions.conformance import strict_compare_rows
     df = _norm(df)
     golden = _norm(golden.copy())
     assert len(df) == len(golden)
     assert (df["url"].values == golden["url"].values).all()
-    assert (df["extracted_text"].values == golden["extracted_text"].values).all()
+    n_bad, reports = strict_compare_rows(df["url"].tolist(),
+                                         df["extracted_text"].tolist(),
+                                         golden["extracted_text"].tolist())
+    assert n_bad == 0, "earliest divergences:\n" + "\n".join(reports[:5])
     assert (df["method"].values == golden["method"].values).all()
     assert (df["n_tiles"].values == golden["n_tiles"].values).all()
     assert df["spans"].tolist() == golden["spans"].tolist()
