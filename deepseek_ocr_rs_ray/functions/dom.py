@@ -139,14 +139,23 @@ def parse_blocks(page: str):
     return blocks, payload
 
 
+_SURROGATE_RE = re.compile("[\ud800-\udfff]")
+
+
 def _char_to_byte_offsets(page: str, char_positions: List[int]) -> dict:
-    """Map char offsets → UTF-8 byte offsets in one pass over the string."""
+    """Map char offsets → UTF-8 byte offsets in one pass over the string.
+
+    The page is decoded with errors='surrogateescape' (one char per invalid
+    byte), so re-encoding the same way restores exact byte lengths — span
+    offsets stay correct even when the input isn't valid UTF-8.
+    """
     wanted = sorted(set(char_positions))
     out = {}
     prev_char = 0
     prev_byte = 0
     for cp in wanted:
-        prev_byte += len(page[prev_char:cp].encode("utf-8"))
+        prev_byte += len(page[prev_char:cp].encode("utf-8",
+                                                   errors="surrogateescape"))
         prev_char = cp
         out[cp] = prev_byte
     return out
@@ -163,7 +172,10 @@ def extract_dom(html_bytes: bytes, params: DomParams = DomParams()):
                            was present (the OCR fallback input)
       payload_span: (start_byte, end_byte)|None  of the <img> tag in html_bytes
     """
-    page = html_bytes.decode("utf-8", errors="replace")
+    # surrogateescape keeps a 1:1 char↔byte mapping for invalid UTF-8 (see
+    # _char_to_byte_offsets); the surrogates are scrubbed to U+FFFD before
+    # any text leaves this function so outputs stay valid UTF-8
+    page = html_bytes.decode("utf-8", errors="surrogateescape")
     blocks, payload_info = parse_blocks(page)
 
     kept = []
@@ -177,7 +189,8 @@ def extract_dom(html_bytes: bytes, params: DomParams = DomParams()):
     parts = []
     char_spans = []
     for b in kept:
-        parts.append(_htmllib.unescape(" ".join(seg[2] for seg in b.segments)))
+        part = _htmllib.unescape(" ".join(seg[2] for seg in b.segments))
+        parts.append(_SURROGATE_RE.sub("�", part))
         char_spans.append((b.segments[0][0], b.segments[-1][1]))
     text = normalize_text("\n\n".join(parts))
 

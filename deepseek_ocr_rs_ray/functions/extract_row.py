@@ -125,6 +125,20 @@ def ocr_decode_page(payload: bytes, vision: VisionSettings,
     return text, n_tiles, len(tokens)
 
 
+def safe_ocr_decode_page(payload: bytes, vision: VisionSettings,
+                         tiling: TilingParams, decode: DecodeParameters
+                         ) -> Tuple[str, int, int]:
+    """Per-row fault isolation: a malformed payload (bad magic, corrupt
+    zlib, degenerate header) yields an empty decode instead of killing the
+    whole wave — the S2 'reject per-row, not per-job' discipline. The
+    outcome is deterministic, so oracle and pipeline agree on bad rows too.
+    """
+    try:
+        return ocr_decode_page(payload, vision, tiling, decode)
+    except Exception:
+        return "", 0, 0
+
+
 def extract_row(url: str, html_bytes: bytes,
                 cfg: ExtractConfig = ExtractConfig()) -> dict:
     """Full per-row extraction: DOM strip, OCR fallback, normalize.
@@ -142,8 +156,8 @@ def extract_row(url: str, html_bytes: bytes,
             "method": "dom",
             "n_tiles": 0,
         }
-    text, n_tiles, _ = ocr_decode_page(dom["payload"], cfg.vision, cfg.tiling,
-                                       cfg.decode)
+    text, n_tiles, _ = safe_ocr_decode_page(dom["payload"], cfg.vision,
+                                            cfg.tiling, cfg.decode)
     spans = [dom["payload_span"]] if dom["payload_span"] is not None else []
     return {
         "url": url,

@@ -150,10 +150,12 @@ def _builtin_templates() -> Dict[str, ConversationTemplate]:
             stop_str=["User:", EOS_SENTINEL], stop_token_ids=[100001]),
         "plain": ConversationTemplate(
             name="plain", system_template="", roles=("", ""),
-            sep_style=PLAIN, sep="", sep2=""),
+            sep_style=PLAIN, sep="", sep2="",
+            stop_str=["</s>"], stop_token_ids=[100001]),
         "alignment": ConversationTemplate(
             name="alignment", system_template="", roles=("", ""),
-            sep_style=ALIGNMENT, sep="", sep2=""),
+            sep_style=ALIGNMENT, sep="", sep2="",
+            stop_str=["</s>"], stop_token_ids=[100001]),
     }
 
 

@@ -80,9 +80,22 @@ class DeltaTracker:
 # Corpus-analysis scalar ops (training-data pipeline primitives)
 # ---------------------------------------------------------------------------
 
-# Whitespace tokens: what DuckDB's regexp_split_to_array(trim(text), '\s+')
-# produces — keep exactly in sync with the oracle SQL in __ray_entry__.py.
-_WS_RE = re.compile(r"\s+")
+# Whitespace tokenization is defined EXPLICITLY over the ASCII whitespace
+# set so the Python side and the DuckDB/RE2 oracle side agree exactly:
+# Python \s and str.strip() cover Unicode whitespace (NBSP, U+2028, ...)
+# while RE2's \s and DuckDB's trim() do not — both sides therefore use this
+# ASCII set and nothing else. SQL mirror helpers live in pipelines/common.py.
+ASCII_WS = " \t\n\r\f\v"
+_ASCII_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+_WS_RE = re.compile(r"\s+")  # Unicode splitter for oracle-free heuristics
+
+
+def ascii_tokens(s: str) -> list:
+    """Tokens split on runs of ASCII whitespace after ASCII-trim."""
+    t = s.strip(ASCII_WS)
+    if not t:
+        return []
+    return _ASCII_WS_RE.split(t)
 # BPE-ish word/number/punct pieces; same pattern string is used verbatim in
 # the DuckDB oracle (regexp_extract_all), so keep it RE2-compatible.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
@@ -93,11 +106,8 @@ _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
 
 
 def ws_token_count(s: str) -> int:
-    """Number of whitespace-separated tokens (0 for all-whitespace/empty)."""
-    t = s.strip()
-    if not t:
-        return 0
-    return len(_WS_RE.split(t))
+    """Number of ASCII-whitespace-separated tokens (0 when empty)."""
+    return len(ascii_tokens(s))
 
 
 def bpe_ish_token_count(s: str) -> int:
@@ -142,7 +152,7 @@ def quality_scores(s: str) -> dict:
     floats are exact functions of the ints and reproduce bit-identically).
     """
     n_chars = len(s)
-    toks = _WS_RE.split(s.strip()) if s.strip() else []
+    toks = ascii_tokens(s)
     n_tokens = len(toks)
     token_chars = sum(len(t) for t in toks)
     n_digits = len(_DIGIT_RE.findall(s))

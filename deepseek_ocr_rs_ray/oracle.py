@@ -98,7 +98,10 @@ def _coeffs_naive(input_size: int, output_size: int):
         if xmax <= xmin:
             xmax = xmin + 1
         length = xmax - xmin
-        row = [_kernel((xmin + i - center + 0.5) / filterscale) for i in range(length)]
+        ss = 1.0 / filterscale  # multiply by reciprocal, exactly as the
+        # reference does (resample.rs:66-68) — dividing instead differs by
+        # 1 ulp for non-power-of-two scales and can flip a rounded coeff
+        row = [_kernel((xmin + i - center + 0.5) * ss) for i in range(length)]
         total = sum(row)
         if total != 0.0:
             row = [v / total for v in row]

@@ -48,6 +48,12 @@ def round6_np(x: np.ndarray) -> np.ndarray:
 SQL_CENTS = "CAST(FLOOR({expr}*100 + 0.5) AS BIGINT)"
 SQL_ROUND6 = "FLOOR({expr}*1000000 + 0.5)/1000000"
 
+# ASCII-whitespace tokenization mirrors (textops.ascii_tokens): DuckDB trim
+# over the explicit ASCII set + an RE2 class with the same six characters
+SQL_ASCII_TRIM = ("trim({col}, ' ' || chr(9) || chr(10) || chr(13) || "
+                  "chr(12) || chr(11))")
+SQL_ASCII_WS_PATTERN = r"[ \t\n\f\r\v]+"
+
 
 def single_row(d: dict) -> pa.Table:
     return pa.table({k: [v] for k, v in d.items()})

@@ -53,8 +53,8 @@ def q_token_stats(sf_dir: str):
 
 Q_TOKEN_STATS_SQL = rf"""
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+')) END AS ws_tokens,
        len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}')) AS bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
@@ -91,8 +91,8 @@ def q_quality_by_lang(sf_dir: str):
 Q_QUALITY_SQL = r"""
 SELECT lang,
        SUM(CAST(length(text) AS BIGINT)) AS sum_chars,
-       SUM(CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS sum_tokens,
+       SUM(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+')) END) AS sum_tokens,
        SUM(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)) AS sum_digits,
        COUNT(*) AS n_docs,
        CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_chars
@@ -168,7 +168,7 @@ def q_jaccard_vs_doc0(sf_dir: str):
         if 0 in ids:
             q_text = b["text"].to_pylist()[ids.index(0)]
             break
-    qset = frozenset(tok.lower() for tok in q_text.strip().split())
+    qset = frozenset(tok.lower() for tok in T.ascii_tokens(q_text))
     q_ref = ray.put(qset)
 
     def f(t: pa.Table) -> pa.Table:
@@ -176,7 +176,7 @@ def q_jaccard_vs_doc0(sf_dir: str):
         texts = t.column("text").to_pylist()
         out = np.empty(len(texts), dtype=np.float64)
         for i, s in enumerate(texts):
-            w = frozenset(tok.lower() for tok in s.strip().split())
+            w = frozenset(tok.lower() for tok in T.ascii_tokens(s))
             inter = len(w & qs)
             union = len(w) + len(qs) - inter
             out[i] = inter / union if union else 0.0
@@ -188,14 +188,14 @@ def q_jaccard_vs_doc0(sf_dir: str):
 
 Q_JACCARD_SQL = r"""
 WITH q AS (
-  SELECT list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  SELECT list_distinct(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))), '[ \t\n\f\r\v]+')) AS w
   FROM documents WHERE doc_id = 0
 )
 SELECT d.doc_id,
   FLOOR(
-    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(d.text)), '\s+')), q.w)) AS DOUBLE)
-    / (len(list_distinct(regexp_split_to_array(lower(trim(d.text)), '\s+'))) + len(q.w)
-       - len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(d.text)), '\s+')), q.w)))
+    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(d.text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))), '[ \t\n\f\r\v]+')), q.w)) AS DOUBLE)
+    / (len(list_distinct(regexp_split_to_array(lower(trim(d.text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))), '[ \t\n\f\r\v]+'))) + len(q.w)
+       - len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(d.text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))), '[ \t\n\f\r\v]+')), q.w)))
     * 1000000 + 0.5) / 1000000 AS jaccard
 FROM documents d, q
 """
@@ -214,7 +214,8 @@ def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
-        sets = [frozenset(t.lower().split()) for t in g["text"]]
+        sets = [frozenset(tok.lower() for tok in T.ascii_tokens(t))
+                for t in g["text"]]
         rows = {"a": [], "b": [], "jaccard": []}
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -235,7 +236,7 @@ def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
 Q_JACCARD_PAIRS_SQL = r"""
 WITH t AS (
   SELECT doc_id, source,
-         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+         list_distinct(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))), '[ \t\n\f\r\v]+')) AS w
   FROM documents
 )
 SELECT a.doc_id AS a, b.doc_id AS b,
@@ -404,9 +405,11 @@ def q_simhash(sf_dir: str):
 
     def f(t: pa.Table) -> pa.Table:
         hs = [simhash64(s) for s in t.column("text").to_pylist()]
+        # two's-complement reinterpretation keeps all 64 bits (masking bit
+        # 63 would conflate fingerprints differing only in the top bit)
+        signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hs]
         return pa.table({"doc_id": t["doc_id"],
-                         "simhash": pa.array([h & ((1 << 63) - 1) for h in hs],
-                                             pa.int64()),
+                         "simhash": pa.array(signed, pa.int64()),
                          "bucket16": pa.array([h >> 48 for h in hs], pa.int64())})
 
     return ds.map_batches(f, batch_format="pyarrow")

@@ -70,13 +70,13 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
     """Lazy Dataset of extraction results (no sink attached)."""
     import ray.data
 
-    from ..sources.pages import read_pages, validate_pages_schema
-    if paths:
-        import pyarrow.parquet as pq
-        validate_pages_schema(pq.read_schema(sorted(paths)[0]))
+    from ..sources.pages import read_pages
+    # read_pages validates the schema at entry; build it first so a
+    # malformed input fails with a precise SchemaError before the size-cut
+    # sampling touches any data
+    ds = read_pages(paths, columns=["url", "warc_ts", "html", "lang"])
     if size_cuts is None:
         size_cuts = compute_size_cuts(paths, cfg)
-    ds = read_pages(paths, columns=["url", "warc_ts", "html", "lang"])
     ds = ds.map_batches(DomExtract(cfg, size_cuts), batch_format="pyarrow",
                         batch_size=cfg.dom_batch_size)
     conc = ocr_concurrency if ocr_concurrency is not None else cfg.ocr_concurrency
@@ -88,6 +88,14 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
     import math
     total_cpus = int(ray.cluster_resources().get("CPU", 4))
     slots = total_cpus / max(cfg.ocr_num_cpus, 0.25)
+    if slots < 3:
+        # tiny session: an actor pool cannot coexist with 1-CPU read/sink
+        # tasks without starving something — run the stage as ordinary
+        # tasks instead (same callable, state rebuilt per worker; workers
+        # are reused so module-level state persists)
+        ds = ds.map_batches(OcrDecode(cfg), batch_format="pyarrow",
+                            batch_size=cfg.dom_batch_size)
+        return ds
     # hard cap at slots-1: a pool holding every CPU deadlocks the executor
     cap = max(1, min(math.ceil(slots * 0.6), int(slots) - 1))
     conc = cap if conc is None else max(1, min(conc, cap))
@@ -294,13 +302,14 @@ def read_stage_totals(out_dir: str):
 
 def output_files(out_dir: str) -> List[str]:
     out = []
-    for root, _dirs, names in os.walk(out_dir):
-        base = os.path.basename(root)
-        if base.startswith("_") or base.startswith(".tmp"):
-            continue
+    for root, dirs, names in os.walk(out_dir):
+        # prune in place: never descend into manifest/metrics dirs or
+        # uncommitted .tmp-wave-* trees (their sc=* subdirs would otherwise
+        # pass a basename check and leak partial data into readers)
+        dirs[:] = [d for d in dirs
+                   if not (d.startswith("_") or d.startswith("."))]
         for n in names:
-            if n.endswith(".parquet") and not root.endswith("_manifest") \
-                    and "_metrics" not in root:
+            if n.endswith(".parquet"):
                 out.append(os.path.join(root, n))
     return sorted(out)
 

@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import ExtractConfig
-from ..functions.extract_row import ocr_decode_page
+from ..functions.extract_row import safe_ocr_decode_page
 
 
 class OcrDecode:
@@ -40,49 +40,49 @@ class OcrDecode:
         pending_mask = pc.equal(batch.column("method"), "ocr_pending")
         n_pending = pc.sum(pc.cast(pending_mask, pa.int64())).as_py() or 0
         if n_pending == 0:
-            return _finalize(batch, None, 0.0)
+            return _passthrough(batch)
+
+        # split: ~95% of rows pass through as zero-copy Arrow slices; only
+        # the pending rows are materialized to Python for the decode
+        mask_np = pending_mask.to_numpy(zero_copy_only=False)
+        rest = batch.filter(pa.array(~mask_np))
+        pend = batch.filter(pa.array(mask_np))
 
         t0 = time.perf_counter()
-        idx = np.flatnonzero(pending_mask.to_numpy(zero_copy_only=False))
-        payloads = batch.column("payload").take(pa.array(idx)).to_pylist()
         cfg = self.cfg
-
-        decoded: List[dict] = []
-        for payload in payloads:
-            text, n_tiles, n_tokens = ocr_decode_page(
+        texts: List[str] = []
+        tiles: List[int] = []
+        for payload in pend.column("payload").to_pylist():
+            text, n_tiles, _ = safe_ocr_decode_page(
                 payload, cfg.vision, cfg.tiling, cfg.decode)
-            decoded.append({"text": text, "n_tiles": n_tiles})
+            texts.append(text)
+            tiles.append(n_tiles)
         ocr_ms = (time.perf_counter() - t0) * 1000.0
 
-        texts = batch.column("extracted_text").to_pylist()
-        methods = batch.column("method").to_pylist()
-        n_tiles = batch.column("n_tiles").to_pylist()
-        spans = batch.column("spans").to_pylist()
-        pspans = batch.column("payload_span").to_pylist()
-        for j, i in enumerate(idx):
-            texts[i] = decoded[j]["text"]
-            methods[i] = "ocr"
-            n_tiles[i] = decoded[j]["n_tiles"]
-            spans[i] = [pspans[i]] if pspans[i] is not None else []
-
         from .dom import SPAN_TYPE
-        patched = (batch
-                   .set_column(batch.schema.get_field_index("extracted_text"),
-                               "extracted_text", pa.array(texts, pa.string()))
-                   .set_column(batch.schema.get_field_index("method"),
-                               "method", pa.array(methods, pa.string()))
-                   .set_column(batch.schema.get_field_index("n_tiles"),
-                               "n_tiles", pa.array(n_tiles, pa.int32()))
-                   .set_column(batch.schema.get_field_index("spans"),
-                               "spans", pa.array(spans, SPAN_TYPE)))
-        return _finalize(patched, idx, ocr_ms)
+        spans = [[ps] if ps is not None else []
+                 for ps in pend.column("payload_span").to_pylist()]
+        idx = {name: pend.schema.get_field_index(name)
+               for name in ("extracted_text", "method", "n_tiles", "spans")}
+        pend = (pend
+                .set_column(idx["extracted_text"], "extracted_text",
+                            pa.array(texts, pa.string()))
+                .set_column(idx["method"], "method",
+                            pa.array(["ocr"] * pend.num_rows, pa.string()))
+                .set_column(idx["n_tiles"], "n_tiles",
+                            pa.array(tiles, pa.int32()))
+                .set_column(idx["spans"], "spans", pa.array(spans, SPAN_TYPE)))
+
+        out_rest = _passthrough(rest)
+        out_pend = _with_ocr_ms(pend, np.full(pend.num_rows,
+                                              ocr_ms / max(pend.num_rows, 1)))
+        return pa.concat_tables([out_rest, out_pend])
 
 
-def _finalize(batch: pa.Table, ocr_idx, ocr_ms: float) -> pa.Table:
-    """Drop the payload columns and attach per-row ocr_ms attribution."""
-    n = batch.num_rows
-    ms = np.zeros(n, dtype=np.float64)
-    if ocr_idx is not None and len(ocr_idx) > 0:
-        ms[ocr_idx] = ocr_ms / len(ocr_idx)
+def _with_ocr_ms(batch: pa.Table, ms: np.ndarray) -> pa.Table:
     out = batch.drop_columns(["payload", "payload_span"])
-    return out.append_column("ocr_ms", pa.array(ms))
+    return out.append_column("ocr_ms", pa.array(ms, pa.float64()))
+
+
+def _passthrough(batch: pa.Table) -> pa.Table:
+    return _with_ocr_ms(batch, np.zeros(batch.num_rows, dtype=np.float64))
