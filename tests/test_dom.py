@@ -105,3 +105,27 @@ def test_null_html_through_batch_stage():
     assert out.column("method").to_pylist() == ["dom"]
     assert out.column("extracted_text").to_pylist() == [""]
     assert extract_row("u", None)["method"] == "dom"
+
+
+def test_invalid_utf8_span_fidelity():
+    # invalid bytes before the content must not shift byte offsets
+    prefix = b"\xff\xfe<p>"
+    body = ("real content sentence with quite a few words in it. " * 3).encode()
+    html = b"<html><body>" + prefix + body + b"</p></body></html>"
+    res = extract_dom(html)
+    assert res["spans"], "content block expected"
+    s, e = res["spans"][0]
+    frag = html[s:e]
+    assert b"real content sentence" in frag
+    # the span start lands exactly on the first content byte, not 2 off
+    assert frag.startswith(b"real content")
+    # extracted text is valid UTF-8 with invalid bytes scrubbed
+    res["text"].encode("utf-8")
+
+
+def test_invalid_utf8_inside_content():
+    bad = b"<p>before \xc3\x28 after " + b"filler words to reach the threshold " * 3 + b"</p>"
+    res = extract_dom(bad)
+    res["text"].encode("utf-8")  # no surrogates escape
+    for s, e in res["spans"]:
+        assert 0 <= s <= e <= len(bad)
