@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_payload_meta": C.x_payload_meta,
         "x_extract_manifest": C.x_extract_manifest,
         "x_extract_stage_totals": C.x_extract_stage_totals,
+        "x_corpus_pipeline": C.x_corpus_pipeline,
         "x_image_thumbnails": C.x_image_thumbnails,
         "x_image_features": C.x_image_features,
         "x_frame_samples": C.x_frame_samples,

@@ -751,6 +751,57 @@ def x_extract_manifest(sf_dir: str):
                      "content_hash", "status"])
 
 
+def x_corpus_pipeline(sf_dir: str):
+    """The composed training-data pipeline: extraction → quality filter →
+    exact dedup → corpus stats. One streaming pass plus one hash-groupby
+    (the dedup); returns a single summary row.
+
+        pages → DOM/OCR extraction (flagship)
+              → quality gate (ASCII token count ≥ 5, mean token len < 20)
+              → dedup by extracted-text md5 (keep min url)
+              → corpus rollup (docs, tokens, ocr share)
+    """
+    import glob
+    from ray.data.aggregate import Count, Min, Sum
+    from .extract import build_extract_dataset
+    d = _pages_dir_for(sf_dir)
+    ds = build_extract_dataset(sorted(glob.glob(d + "/*.parquet")))
+
+    def gate_and_hash(t: pa.Table) -> pa.Table:
+        texts = t.column("extracted_text").to_pylist()
+        methods = t.column("method").to_pylist()
+        urls = t.column("url").to_pylist()
+        rows = {"url": [], "text_md5": [], "tokens": [], "is_ocr": []}
+        for url, text, method in zip(urls, texts, methods):
+            toks = T.ascii_tokens(text)
+            if len(toks) < 5:
+                continue
+            if sum(len(x) for x in toks) / len(toks) >= 20.0:
+                continue
+            rows["url"].append(url)
+            rows["text_md5"].append(T.md5_hex(text))
+            rows["tokens"].append(len(toks))
+            rows["is_ocr"].append(1 if method == "ocr" else 0)
+        return pa.table({"url": pa.array(rows["url"], pa.string()),
+                         "text_md5": pa.array(rows["text_md5"], pa.string()),
+                         "tokens": pa.array(rows["tokens"], pa.int64()),
+                         "is_ocr": pa.array(rows["is_ocr"], pa.int64())})
+
+    gated = ds.map_batches(gate_and_hash, batch_format="pyarrow")
+    deduped = (gated.groupby("text_md5")
+                    .aggregate(Min("url", alias_name="keep_url"),
+                               Min("tokens", alias_name="tokens"),
+                               Min("is_ocr", alias_name="is_ocr"),
+                               Count(alias_name="n_copies")))
+    df = (deduped.groupby(None)
+                 .aggregate(Count(alias_name="unique_docs"),
+                            Sum("tokens", alias_name="total_tokens"),
+                            Sum("is_ocr", alias_name="ocr_docs"),
+                            Sum("n_copies", alias_name="docs_after_gate"))
+                 .to_pandas())
+    return df
+
+
 def x_extract_stage_totals(sf_dir: str):
     """G1 stage-totals rollup over the job's per-wave metrics (count /
     total / min / max per stage — crates/cli/src/bench.rs:139-172)."""
