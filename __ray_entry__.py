@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_sliding": R.q_events_sliding,
         "q_asof_last_order": R.q_asof_last_order,
         "q_sample_docs": R.q_sample_docs,
+        "q_value_percentiles": R.q_value_percentiles,
         # text analysis
         "q_token_stats": C.q_token_stats,
         "q_quality_by_lang": C.q_quality_by_lang,
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_sliding": R.Q_EVENTS_SLIDING_SQL,
         "q_asof_last_order": R.Q_ASOF_SQL,
         "q_sample_docs": R.Q_SAMPLE_SQL,
+        "q_value_percentiles": R.Q_PERCENTILES_SQL,
         "q_token_stats": C.Q_TOKEN_STATS_SQL,
         "q_quality_by_lang": C.Q_QUALITY_SQL,
         "q_doc_fingerprint": C.Q_FINGERPRINT_SQL,

@@ -589,6 +589,38 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# per-group discrete percentiles (exact order statistics)
+# ---------------------------------------------------------------------------
+
+def q_value_percentiles(sf_dir: str):
+    """p50/p90/p99 of event values per type as exact order statistics —
+    sorted[ceil(q*n)-1], DuckDB's quantile_disc convention, so the selected
+    element (an unmodified input double) matches the oracle bit-for-bit."""
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        n = len(v)
+        pick = lambda q: v[int(np.ceil(q * n)) - 1]
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "p50": [pick(0.5)], "p90": [pick(0.9)],
+                             "p99": [pick(0.99)],
+                             "n_events": [np.int64(n)]})
+
+    return ds.groupby("event_type").map_groups(pct, batch_format="pandas")
+
+
+Q_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # as-of join: latest order at-or-before each event (J-family, merge_asof)
 # ---------------------------------------------------------------------------
 
