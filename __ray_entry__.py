@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_last_order": R.q_asof_last_order,
         "q_sample_docs": R.q_sample_docs,
         "q_value_percentiles": R.q_value_percentiles,
+        "q_events_running_total": R.q_events_running_total,
+        "q_customers_semi_anti": R.q_customers_semi_anti,
         # text analysis
         "q_token_stats": C.q_token_stats,
         "q_quality_by_lang": C.q_quality_by_lang,
@@ -89,6 +91,8 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_last_order": R.Q_ASOF_SQL,
         "q_sample_docs": R.Q_SAMPLE_SQL,
         "q_value_percentiles": R.Q_PERCENTILES_SQL,
+        "q_events_running_total": R.Q_RUNNING_TOTAL_SQL,
+        "q_customers_semi_anti": R.Q_SEMI_ANTI_SQL,
         "q_token_stats": C.Q_TOKEN_STATS_SQL,
         "q_quality_by_lang": C.Q_QUALITY_SQL,
         "q_doc_fingerprint": C.Q_FINGERPRINT_SQL,

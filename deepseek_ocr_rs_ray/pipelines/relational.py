@@ -589,6 +589,79 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# running totals: the SQL window-function family over co-grouped state
+# ---------------------------------------------------------------------------
+
+def q_events_running_total(sf_dir: str):
+    """Per-user running sum of value cents in (ts, event_id) order — the
+    SUM() OVER (PARTITION BY ... ORDER BY ...) family. Hash-bucketed
+    co-grouping (64 buckets) + vectorized pandas cumsum per bucket; exact
+    int64 cents make the running sums order-robust and oracle-identical."""
+    N_BUCKETS = 64
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["user_id"], pa.int64())
+        return pa.table({"bucket": pc.bit_wise_and(k, N_BUCKETS - 1),
+                         "user_id": k, "event_id": t["event_id"],
+                         "ts": t["ts"],
+                         "cents": pa.array(
+                             cents_np(t["value"].to_numpy(zero_copy_only=False)))})
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        g["running_cents"] = g.groupby("user_id")["cents"].cumsum()
+        return g[["event_id", "user_id", "running_cents"]]
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("bucket").map_groups(running, batch_format="pandas"))
+
+
+Q_RUNNING_TOTAL_SQL = """
+SELECT event_id, user_id,
+       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_cents
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# semi / anti join via broadcast key set (the guide's no-shuffle pattern)
+# ---------------------------------------------------------------------------
+
+def q_customers_semi_anti(sf_dir: str):
+    """Customers with vs without orders: the broadcast-key-set semi/anti
+    join — order keys collected once (dimension-sized), shipped via
+    ray.put, probed per batch with np.isin; no shuffle."""
+    import ray
+    from ray.data.aggregate import Count
+    orders = read_table(sf_dir, "orders", ["o_custkey"])
+    keys = set()
+    for b in orders.iter_batches(batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    cust = read_table(sf_dir, "customer", ["c_custkey"])
+
+    def classify(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        has = np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), ks)
+        return pa.table({"has_orders": pa.array(has),
+                         "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    return (cust.map_batches(classify, batch_format="pyarrow")
+                .groupby("has_orders")
+                .aggregate(Count(alias_name="n_customers")))
+
+
+Q_SEMI_ANTI_SQL = """
+SELECT EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-group discrete percentiles (exact order statistics)
 # ---------------------------------------------------------------------------
 
