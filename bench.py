@@ -30,7 +30,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier_volume",
     "q_hash_join_agg",
     "q_filter_project", "q_topk_orders", "q_orders_by_month",
-    "q_events_hourly", "q_events_sessionize", "q_asof_last_order",
+    "q_events_hourly", "q_events_sessionize", "q_events_sliding",
+    "q_asof_last_order", "q_events_running_total", "q_value_percentiles",
     "q_dedup_exact", "q_token_stats", "q_minhash_pairs",
     "q_knn_cosine", "q_embed_dup_pairs",
 ]
