@@ -120,3 +120,12 @@ def test_sql_oracle_parity_small(ray_session, qname):
     ray_df = to_pandas(m.queries()[qname](SF))
     sql_df = con.execute(m.oracle_sql()[qname]).fetchdf()
     assert compare(qname, ray_df, sql_df) == []
+
+
+def test_langid_pipeline_deterministic_and_plausible(ray_session):
+    a = C.q_langid(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = C.q_langid(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # fixture docs are English-ish word salads: the heuristic should lean en
+    counts = a["lang_pred"].value_counts(normalize=True)
+    assert counts.get("en", 0) > 0.5
