@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality_by_lang": C.q_quality_by_lang,
         "q_doc_fingerprint": C.q_doc_fingerprint,
         "q_langid": C.q_langid,
+        "q_quality_filter": C.q_quality_filter,
         # dedup family
         "q_dedup_exact": C.q_dedup_exact,
         "q_jaccard_vs_doc0": C.q_jaccard_vs_doc0,
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "q_customers_semi_anti": R.Q_SEMI_ANTI_SQL,
         "q_token_stats": C.Q_TOKEN_STATS_SQL,
         "q_quality_by_lang": C.Q_QUALITY_SQL,
+        "q_quality_filter": C.Q_QUALITY_FILTER_SQL,
         "q_doc_fingerprint": C.Q_FINGERPRINT_SQL,
         "q_dedup_exact": C.Q_DEDUP_EXACT_SQL,
         "q_jaccard_vs_doc0": C.Q_JACCARD_SQL,

@@ -114,6 +114,36 @@ def q_doc_fingerprint(sf_dir: str):
 Q_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS text_md5 FROM documents"
 
 
+def q_quality_filter(sf_dir: str):
+    """Quality gate as a standalone filter: docs with >= 20 tokens and digit
+    ratio < 0.3 (all predicates over exact integer counts, so the SQL oracle
+    matches bit-for-bit)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        keep = []
+        for i, s in zip(ids, texts):
+            toks = T.ws_token_count(s)
+            digits = len(T._DIGIT_RE.findall(s))
+            n = len(s)
+            if toks >= 20 and (n == 0 or digits / n < 0.3):
+                keep.append(i)
+        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q_QUALITY_FILTER_SQL = r"""
+SELECT doc_id FROM documents
+WHERE (CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+')) END) >= 20
+  AND (length(text) = 0 OR
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) < 0.3)
+"""
+
+
 def q_langid(sf_dir: str):
     """Language-id heuristic (rows-only: not expressible in SQL)."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])

@@ -300,6 +300,17 @@ def read_stage_totals(out_dir: str):
                          Max("max_ms", alias_name="max_ms")))
 
 
+def run_extract_simple(input_paths: Sequence[str], out_dir: str,
+                       cfg: ExtractConfig = ExtractConfig()) -> None:
+    """One-shot non-resumable variant using the native ``write_parquet``
+    sink partitioned by size class — the preferred sink when per-wave
+    checkpointing isn't needed (small backfills, interactive runs). The
+    waved ``run_extract_job`` remains the production path."""
+    ds = build_extract_dataset(sorted(input_paths), cfg)
+    ds = ds.drop_columns(["dom_ms", "ocr_ms"])
+    ds.write_parquet(out_dir, partition_cols=["size_class"])
+
+
 def output_files(out_dir: str) -> List[str]:
     out = []
     for root, dirs, names in os.walk(out_dir):
