@@ -77,7 +77,10 @@ class ExtractConfig:
     decode: DecodeParameters = DecodeParameters()
     dom: DomParams = DomParams()
     # Ray Data execution knobs
-    dom_batch_size: int = 256
+    # None = one batch per block: blocks are byte-bounded by the reader
+    # (target_max_block_size), so a shard of 2 MB pages can never produce a
+    # multi-GB batch the way a fixed row count would
+    dom_batch_size: Optional[int] = None
     ocr_batch_size: int = 8
     # OCR actor-pool size; None = adapt to the cluster (total CPUs - 2)
     ocr_concurrency: Optional[int] = None
