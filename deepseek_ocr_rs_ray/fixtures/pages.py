@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import base64
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pyarrow as pa

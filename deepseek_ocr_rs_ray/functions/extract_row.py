@@ -20,7 +20,7 @@ The OCR path mirrors the reference's decode lifecycle
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -20,9 +20,8 @@ classification well-posed while staying fully deterministic.
 
 from __future__ import annotations
 
-import base64
 import zlib
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ it uses f64, so results are bit-identical across any partitioning.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -21,15 +21,13 @@ Scale patterns:
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import textops as T
-from .common import read_table, round6_np, single_row
+from .common import read_table, round6_np
 
 # ---------------------------------------------------------------------------
 # text analysis (SQL-oracled)

@@ -20,7 +20,7 @@ Stages:
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pyarrow as pa
