@@ -30,6 +30,19 @@ def read_table(sf_dir: str, name: str, columns: Optional[Sequence[str]] = None):
                                  columns=list(columns) if columns else None)
 
 
+def read_dim(sf_dir: str, name: str,
+             columns: Optional[Sequence[str]] = None) -> pa.Table:
+    """Driver-side read of a DIMENSION table (region/nation/customer/...).
+
+    Dimensions are broadcast-sized by definition; a full Ray pass to fetch
+    them costs more in scheduling than the read itself. Fact tables always
+    go through ``read_table``.
+    """
+    import pyarrow.parquet as pq
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"),
+                         columns=list(columns) if columns else None)
+
+
 def cents_arr(x: pa.ChunkedArray | pa.Array) -> pa.Array:
     """floor(x*100 + 0.5) as int64 — exact-integer money representation."""
     return pc.cast(pc.floor(pc.add(pc.multiply(x, pa.scalar(100.0)),

@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .common import cents_arr, cents_np, read_table, single_row
+from .common import cents_arr, cents_np, read_dim, read_table, single_row
 
 CUTOFF = "1998-09-02"
 Q3_DATE = "1998-03-15"
@@ -100,11 +100,9 @@ def q3_top_orders(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust_keys = set()
-    for b in cust.iter_batches(batch_format="pyarrow"):
-        m = pc.equal(b["c_mktsegment"], "BUILDING")
-        cust_keys.update(b.filter(m)["c_custkey"].to_pylist())
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_keys = set(cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+                    ["c_custkey"].to_pylist())
 
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     ckeys_ref = ray.put(np.array(sorted(cust_keys), dtype=np.int64))
@@ -171,18 +169,18 @@ def q5_local_supplier_volume(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    region = read_table(sf_dir, "region").to_pandas()
-    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_dim(sf_dir, "region").to_pandas()
+    nation = read_dim(sf_dir, "nation").to_pandas()
     rkey = region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0]
     nations = nation[nation["n_regionkey"] == rkey]
     nation_names = dict(zip(nations["n_nationkey"].astype(np.int64),
                             nations["n_name"]))
 
-    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     cust = cust[cust["c_nationkey"].isin(nation_names)]
     cust_nation = dict(zip(cust["c_custkey"].astype(np.int64),
                            cust["c_nationkey"].astype(np.int64)))
-    supp = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = read_dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     supp_nation = dict(zip(supp["s_suppkey"].astype(np.int64),
                            supp["s_nationkey"].astype(np.int64)))
 
