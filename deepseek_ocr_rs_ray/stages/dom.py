@@ -21,6 +21,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import ExtractConfig
 from ..functions.dom import extract_dom
@@ -47,22 +48,29 @@ class DomExtract:
         urls = batch.column("url").to_pylist()
         htmls = batch.column("html").to_pylist()
 
+        # vectorized per-row metadata: byte lengths via Arrow, size classes
+        # via a single searchsorted against the quantile cuts
+        lengths = pc.binary_length(pc.coalesce(batch.column("html"),
+                                               pa.scalar(b"", pa.binary())))
+        html_bytes = lengths.to_numpy(zero_copy_only=False).astype(np.int64)
+        if self.size_cuts:
+            size_classes = np.searchsorted(
+                np.asarray(self.size_cuts, dtype=np.int64), html_bytes,
+                side="left").astype(np.int32)
+        else:
+            size_classes = np.zeros(len(html_bytes), dtype=np.int32)
+
         texts: List[str] = []
         spans: List[list] = []
         methods: List[str] = []
         payloads: List[Optional[bytes]] = []
         pspans: List[Optional[dict]] = []
-        html_bytes: List[int] = []
-        size_classes: List[int] = []
-        cuts = self.size_cuts
         dom_params = self.cfg.dom
 
         for url, html in zip(urls, htmls):
             if html is None:           # null payloads occur in real crawls
                 html = b""
             res = extract_dom(html, dom_params)
-            html_bytes.append(len(html))
-            size_classes.append(size_class_of(len(html), cuts))
             if res["ok"] or res["payload"] is None:
                 texts.append(res["text"])
                 spans.append([{"start": s, "end": e} for s, e in res["spans"]])
