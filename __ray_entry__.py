@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_value_percentiles": R.q_value_percentiles,
         "q_events_running_total": R.q_events_running_total,
         "q_customers_semi_anti": R.q_customers_semi_anti,
+        "q_top3_orders_per_segment": R.q_top3_orders_per_segment,
         # text analysis
         "q_token_stats": C.q_token_stats,
         "q_quality_by_lang": C.q_quality_by_lang,
@@ -94,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "q_value_percentiles": R.Q_PERCENTILES_SQL,
         "q_events_running_total": R.Q_RUNNING_TOTAL_SQL,
         "q_customers_semi_anti": R.Q_SEMI_ANTI_SQL,
+        "q_top3_orders_per_segment": R.Q_TOP3_PER_SEGMENT_SQL,
         "q_token_stats": C.Q_TOKEN_STATS_SQL,
         "q_quality_by_lang": C.Q_QUALITY_SQL,
         "q_quality_filter": C.Q_QUALITY_FILTER_SQL,

@@ -624,6 +624,61 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# ranked top-N per group (ROW_NUMBER window family)
+# ---------------------------------------------------------------------------
+
+def q_top3_orders_per_segment(sf_dir: str):
+    """Top-3 orders by value within each market segment — the ranked-window
+    (ROW_NUMBER OVER PARTITION BY) family. Segment lookup is a broadcast
+    dimension probe; per-batch local top-3 per segment collapses the stream
+    before the tiny global reduce (5 segments × 3 rows)."""
+    import ray
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust["c_custkey"].to_pylist(),
+                      cust["c_mktsegment"].to_pylist()))
+    seg_ref = ray.put(seg_of)
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                           "o_totalprice"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        segs = ray.get(seg_ref)
+        keys = t["o_custkey"].to_pylist()
+        g = pd.DataFrame({
+            "c_mktsegment": [segs.get(k) for k in keys],
+            "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+            "total_cents": cents_arr(t["o_totalprice"]).to_numpy(zero_copy_only=False),
+        })
+        # batch-level top-3 PER SEGMENT (a global cut could let one segment
+        # crowd out another's top rows); any dataset-level top-3 element is
+        # necessarily a batch-level top-3 of its segment
+        g = g.sort_values(["c_mktsegment", "total_cents", "o_orderkey"],
+                          ascending=[True, False, True])
+        return pa.Table.from_pandas(g.groupby("c_mktsegment").head(3),
+                                    preserve_index=False)
+
+    df = orders.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["c_mktsegment", "total_cents", "o_orderkey"],
+                        ascending=[True, False, True])
+    df["rank"] = df.groupby("c_mktsegment").cumcount() + 1
+    out = df[df["rank"] <= 3].reset_index(drop=True)
+    return out[["c_mktsegment", "rank", "o_orderkey", "total_cents"]]
+
+
+Q_TOP3_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, rank, o_orderkey, total_cents FROM (
+  SELECT c_mktsegment,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) DESC,
+                                     o_orderkey ASC) AS rank,
+         o_orderkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # semi / anti join via broadcast key set (the guide's no-shuffle pattern)
 # ---------------------------------------------------------------------------
 
