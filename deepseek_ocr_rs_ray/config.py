@@ -81,7 +81,9 @@ class ExtractConfig:
     # (target_max_block_size), so a shard of 2 MB pages can never produce a
     # multi-GB batch the way a fixed row count would
     dom_batch_size: Optional[int] = None
-    ocr_batch_size: int = 8
+    # OCR stage batch size; None = per-block like the DOM stage (most rows
+    # pass through untouched, so small fixed batches would only add overhead)
+    ocr_batch_size: Optional[int] = None
     # OCR actor-pool size; None = adapt to the cluster (total CPUs - 2)
     ocr_concurrency: Optional[int] = None
     ocr_num_cpus: float = 1.0

@@ -88,10 +88,10 @@ def q_quality_by_lang(sf_dir: str):
 
 Q_QUALITY_SQL = r"""
 SELECT lang,
-       SUM(CAST(length(text) AS BIGINT)) AS sum_chars,
-       SUM(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+')) END) AS sum_tokens,
-       SUM(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)) AS sum_digits,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+')) END) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)) AS BIGINT) AS sum_digits,
        COUNT(*) AS n_docs,
        CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_chars
 FROM documents GROUP BY lang
@@ -196,6 +196,8 @@ def q_jaccard_vs_doc0(sf_dir: str):
         if 0 in ids:
             q_text = b["text"].to_pylist()[ids.index(0)]
             break
+    if q_text is None:
+        raise KeyError(0)
     qset = frozenset(tok.lower() for tok in T.ascii_tokens(q_text))
     q_ref = ray.put(qset)
 

@@ -94,13 +94,13 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
         # tasks instead (same callable, state rebuilt per worker; workers
         # are reused so module-level state persists)
         ds = ds.map_batches(OcrDecode(cfg), batch_format="pyarrow",
-                            batch_size=cfg.dom_batch_size)
+                            batch_size=cfg.ocr_batch_size)
         return ds
     # hard cap at slots-1: a pool holding every CPU deadlocks the executor
     cap = max(1, min(math.ceil(slots * 0.6), int(slots) - 1))
     conc = cap if conc is None else max(1, min(conc, cap))
     ds = ds.map_batches(OcrDecode, fn_constructor_args=(cfg,),
-                        batch_format="pyarrow", batch_size=cfg.dom_batch_size,
+                        batch_format="pyarrow", batch_size=cfg.ocr_batch_size,
                         concurrency=conc, num_cpus=cfg.ocr_num_cpus)
     return ds
 

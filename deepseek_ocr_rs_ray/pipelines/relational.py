@@ -74,9 +74,9 @@ def q1_pricing_summary(sf_dir: str):
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_qty,
        CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_base_cents
@@ -142,13 +142,15 @@ def q3_top_orders(sf_dir: str):
     df = df.sort_values(["revenue_cents", "o_orderkey"],
                         ascending=[False, True]).head(10).reset_index(drop=True)
     df["o_orderdate"] = df["o_orderkey"].map(okeys)
-    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"])
+    # [us] matches DuckDB's fetchdf timestamp unit (raw epoch values must
+    # agree for the driver's value hash, not just the instants)
+    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
     return df[["o_orderkey", "revenue_cents", "o_orderdate"]]
 
 
 Q3_SQL = f"""
 SELECT o_orderkey,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
        o_orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -247,7 +249,7 @@ def q5_local_supplier_volume(sf_dir: str):
 
 Q5_SQL = f"""
 SELECT n_name,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer
   JOIN orders   ON c_custkey = o_custkey
   JOIN lineitem ON l_orderkey = o_orderkey
@@ -296,7 +298,7 @@ def q_hash_join_agg(sf_dir: str):
 
 Q_HASH_JOIN_SQL = """
 SELECT o_orderpriority,
-       SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_lineitems
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -438,7 +440,7 @@ def q_orders_by_month(sf_dir: str):
 Q_MONTH_SQL = """
 SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
        CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS month,
-       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS sum_total_cents,
+       CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_total_cents,
        COUNT(*) AS n_orders
 FROM orders GROUP BY 1, 2
 """
@@ -461,15 +463,24 @@ def q_events_hourly(sf_dir: str):
         return tmp.group_by(["event_type", "window_start"]).aggregate(
             [("cents", "sum"), ("n", "sum")])
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby(["event_type", "window_start"])
-              .aggregate(Sum("cents_sum", alias_name="sum_value_cents"),
-                         Sum("n_sum", alias_name="n_events")))
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["event_type", "window_start"])
+             .aggregate(Sum("cents_sum", alias_name="sum_value_cents"),
+                        Sum("n_sum", alias_name="n_events")))
+    return agg.map_batches(_window_start_us, batch_format="pyarrow")
+
+
+def _window_start_us(t: pa.Table) -> pa.Table:
+    """floor_temporal emits timestamp[s]; recast to [us] so the epoch ints
+    the driver hashes match DuckDB's fetchdf unit."""
+    i = t.schema.get_field_index("window_start")
+    return t.set_column(i, "window_start",
+                        pc.cast(t["window_start"], pa.timestamp("us")))
 
 
 Q_EVENTS_HOURLY_SQL = """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS sum_value_cents,
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
 """
@@ -498,7 +509,9 @@ def q_events_sliding(sf_dir: str):
         offs = np.arange(k, dtype=np.int64) * SLIDE_US
         ws = (first_ws[:, None] + offs[None, :]).reshape(-1)
         rep_ts = np.repeat(ts, k)
-        keep = (rep_ts >= ws) & (rep_ts < ws + WINDOW_US)
+        # ws >= 0 mirrors the oracle's epoch guard for events inside the
+        # first hour after the Unix epoch (ADVICE r01)
+        keep = (rep_ts >= ws) & (rep_ts < ws + WINDOW_US) & (ws >= 0)
         etype = np.repeat(np.asarray(t["event_type"].to_pylist(), dtype=object), k)
         cents = np.repeat(cents_np(t["value"].to_numpy(zero_copy_only=False)), k)
         tmp = pa.table({
@@ -510,10 +523,11 @@ def q_events_sliding(sf_dir: str):
         return tmp.group_by(["event_type", "window_start"]).aggregate(
             [("cents", "sum"), ("n", "sum")])
 
-    return (ds.map_batches(expand, batch_format="pyarrow")
-              .groupby(["event_type", "window_start"])
-              .aggregate(Sum("cents_sum", alias_name="sum_value_cents"),
-                         Sum("n_sum", alias_name="n_events")))
+    agg = (ds.map_batches(expand, batch_format="pyarrow")
+             .groupby(["event_type", "window_start"])
+             .aggregate(Sum("cents_sum", alias_name="sum_value_cents"),
+                        Sum("n_sum", alias_name="n_events")))
+    return agg.map_batches(_window_start_us, batch_format="pyarrow")
 
 
 Q_EVENTS_SLIDING_SQL = """
@@ -524,7 +538,7 @@ WITH w AS (
   WHERE epoch_us(ts) // 900000000 - s.i >= 0
 )
 SELECT e.event_type, w.window_start,
-       SUM(CAST(FLOOR(e.value*100 + 0.5) AS BIGINT)) AS sum_value_cents,
+       CAST(SUM(CAST(FLOOR(e.value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
        COUNT(*) AS n_events
 FROM events e JOIN w
   ON e.event_type = w.event_type
@@ -575,9 +589,9 @@ def q_events_sessionize(sf_dir: str):
 
 Q_SESSIONIZE_SQL = f"""
 SELECT user_id,
-       SUM(CASE WHEN prev_ts IS NULL
+       CAST(SUM(CASE WHEN prev_ts IS NULL
                  OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
-                THEN 1 ELSE 0 END) AS n_sessions,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM (SELECT user_id, event_id, ts,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -617,8 +631,8 @@ def q_events_running_total(sf_dir: str):
 
 Q_RUNNING_TOTAL_SQL = """
 SELECT event_id, user_id,
-       SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
-         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_cents
+       CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS running_cents
 FROM events
 """
 
@@ -796,19 +810,25 @@ def q_asof_last_order(sf_dir: str):
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "user_id": pd.Series([], dtype="int64"),
                                  "last_orderkey": pd.Series([], dtype="int64")})
+
         merged = pd.merge_asof(ev[["ts", "k", "event_id"]],
                                od[["ts", "k", "o_orderkey"]],
                                on="ts", by="k", direction="backward")
+        # no-match sentinel -1 instead of NULL: DuckDB's fetchdf turns a
+        # nullable BIGINT into float64, which can never hash-match an int64
+        # Ray column — COALESCE on both sides keeps the dtype pure int64
         return pd.DataFrame({"event_id": merged["event_id"].astype("int64"),
                              "user_id": merged["k"].astype("int64"),
-                             "last_orderkey": merged["o_orderkey"]})
+                             "last_orderkey": merged["o_orderkey"]
+                             .fillna(-1).astype("int64")})
 
     return ev_tagged.union(or_tagged).groupby("bucket").map_groups(
         asof, batch_format="pandas")
 
 
 Q_ASOF_SQL = """
-SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+SELECT e.event_id, e.user_id,
+       CAST(COALESCE(o.o_orderkey, -1) AS BIGINT) AS last_orderkey
 FROM events e
 ASOF LEFT JOIN (
   SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey

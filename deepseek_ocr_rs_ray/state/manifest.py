@@ -71,12 +71,24 @@ def committed_waves(out_dir: str) -> set:
 
 
 def clean_orphan_tmp(out_dir: str) -> List[str]:
-    """Remove leftover .tmp-wave-* dirs from a killed run."""
+    """Remove leftover .tmp-wave-* dirs AND published-but-uncommitted
+    wave=K dirs from a killed run.
+
+    A kill between commit_wave's data-dir rename and its manifest write
+    leaves wave=K on disk with no committed manifest; its rows would leak
+    through output_files() and the re-run's os.replace would hit ENOTEMPTY
+    (ADVICE r01). Both orphan kinds are deleted here, so resume re-runs the
+    wave from input cleanly.
+    """
     removed = []
     if not os.path.isdir(out_dir):
         return removed
+    done = committed_waves(out_dir)
     for name in os.listdir(out_dir):
-        if name.startswith(".tmp-wave-"):
+        orphan_tmp = name.startswith(".tmp-wave-")
+        orphan_wave = (name.startswith("wave=")
+                       and name[5:].isdigit() and int(name[5:]) not in done)
+        if orphan_tmp or orphan_wave:
             shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
             removed.append(name)
     return removed
@@ -87,6 +99,10 @@ def commit_wave(out_dir: str, wave: int, input_files: List[str],
     """Atomically publish a finished wave: rename data dir, then manifest."""
     tmp = wave_tmp_dir(out_dir, wave)
     final = wave_dir(out_dir, wave)
+    if os.path.isdir(final):
+        # stale publish from a run killed before its manifest write —
+        # this wave was never committed, so replace its data wholesale
+        shutil.rmtree(final)
     os.replace(tmp, final)
 
     rows = {

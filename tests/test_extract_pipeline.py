@@ -79,10 +79,18 @@ def test_job_resume_and_idempotence(ray_session, pages_dir, golden, tmp_path):
 
     # torn tmp dir from the "crash"
     os.makedirs(os.path.join(out, ".tmp-wave-00002"), exist_ok=True)
+    # published-but-uncommitted wave: simulate a kill between commit_wave's
+    # data rename and its manifest write (ADVICE r01) — stale data under
+    # wave=00001 with NO manifest must be swept + re-run, not leaked/crashed
+    stale = os.path.join(out, "wave=00001", "sc=0")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "part-stale.parquet"), "wb") as f:
+        f.write(b"not a parquet")
 
     s2 = run_extract_job(files, out, wave_size=1)
     assert s2["waves_skipped"] == 1 and s2["waves_run"] == 3
     assert not any(n.startswith(".tmp") for n in os.listdir(out))
+    assert not os.path.exists(os.path.join(stale, "part-stale.parquet"))
 
     assert_matches_golden(read_output(out).to_pandas(), golden)
 

@@ -33,14 +33,10 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns+rows ONLY — no dtype coercion. The driver hashes raw
+    values, so an int64 Ray column vs a float64 oracle column must FAIL here
+    even when every value compares equal (VERDICT r01: 11 such queries)."""
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("Int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -53,6 +49,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list:
         problems.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
         return problems
     a, b = canon(ray_df), canon(sql_df)
+    for c in a.columns:
+        if str(a[c].dtype) != str(b[c].dtype):
+            problems.append(f"dtype {c}: ray={a[c].dtype} sql={b[c].dtype}")
+    if problems:
+        return problems
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av):
