@@ -158,20 +158,37 @@ def q_langid(sf_dir: str):
 # dedup family
 # ---------------------------------------------------------------------------
 
+DEDUP_SHARDS = 256
+
+
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: hash → hash-partitioned groupby → min id + count (D4)."""
-    from ray.data.aggregate import Count, Min
+    """Exact dedup (D4): hash → SHARDED groupby → vectorized in-group agg.
+
+    The shuffle key is the md5's first byte (256 groups), never the hash
+    itself: a Ray groupby over the full hash column is one group per
+    distinct document (~33s/80k keys on this host, unbounded at corpus
+    scale), while per-shard pandas groupby handles millions of hashes per
+    group vectorized.
+    """
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def add_hash(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
+        md5s = [T.md5_hex(s) for s in texts]
         return pa.table({"doc_id": t["doc_id"],
-                         "text_md5": pa.array([T.md5_hex(s) for s in texts])})
+                         "text_md5": pa.array(md5s),
+                         "shard": pa.array([int(h[:2], 16) for h in md5s],
+                                           pa.int64())})
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("text_md5")["doc_id"]
+                .agg(keep_id="min", n_copies="size").reset_index())
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return out[["text_md5", "keep_id", "n_copies"]]
 
     return (ds.map_batches(add_hash, batch_format="pyarrow")
-              .groupby("text_md5")
-              .aggregate(Min("doc_id", alias_name="keep_id"),
-                         Count(alias_name="n_copies")))
+              .groupby("shard")
+              .map_groups(dedup_group, batch_format="pandas"))
 
 
 Q_DEDUP_EXACT_SQL = """
@@ -328,16 +345,15 @@ def minhash_signature(text: str, a: np.ndarray) -> np.ndarray:
 def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH candidate mining → exact shingle-Jaccard verification.
 
-    Signature/band stages are map_batches; the only shuffle moves
-    (band, bucket, doc_id) triples. Verification broadcasts the doc texts
-    (fine at test scale; at 10^12 docs the verify is a bucketed join of
-    candidate ids back to the corpus — same groupby machinery).
+    Signature/band stages are map_batches; the first shuffle moves only
+    (band, bucket, doc_id) triples. Verification never materializes the
+    corpus on the driver: candidate pairs explode to one row per side,
+    hash-join back to the documents table on doc_id (both sides partitioned
+    — only candidate docs' texts survive the join), then co-group by a
+    bounded pair-hash shard and compute exact shingle Jaccard per pair.
     """
     import ray
-    from ray.data.aggregate import Count
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    texts_ref = ray.put({int(i): t for i, t in zip(
-        *[docs.to_pandas()[c] for c in ("doc_id", "text")])})
     a_params = _minhash_params()
     N_SHARDS = 256  # shuffle key: hash-shard of the bucket, NOT the bucket
     # itself — co-locates equal buckets while keeping the group count (and
@@ -383,36 +399,58 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
     cand = banded.groupby("shard").map_groups(local_pairs,
                                               batch_format="pandas")
 
-    # Verify BEFORE any global pair dedupe: a groupby over the full
-    # candidate set is a high-cardinality shuffle (~200k distinct pairs at
-    # sf0.1 cost 100+s in Ray's sort-based aggregate). Verification is
-    # deterministic, so duplicate candidates (same pair colliding in
-    # several bands) just re-derive the same row; in-batch dedupe removes
-    # most, and the final drop_duplicates runs over the tiny survivor set.
-    def verify(t: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        seen = set()
+    # one row per (pair, side): the unit the text join attaches to
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b])),
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+        })
+
+    sides = cand.map_batches(explode_sides, batch_format="pyarrow")
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    # hash-partitioned join: only candidate docs' texts leave the corpus scan
+    joined = sides.join(docs, join_type="inner", num_partitions=n_parts,
+                        on=("doc_id",))
+
+    # co-group the two sides of each pair under a BOUNDED shard count
+    # (hash of the pair, not the pair itself — same rationale as N_SHARDS)
+    PAIR_SHARDS = 64
+
+    def tag_pair_shard(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ps = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) & np.uint64(PAIR_SHARDS - 1)
+        return t.append_column("pshard", pa.array(ps.astype(np.int64)))
+
+    def verify_pairs(g: pd.DataFrame) -> pd.DataFrame:
         keep = {"a": [], "b": [], "jaccard": []}
-        for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist()):
-            if (x, y) in seen:
-                continue
-            seen.add((x, y))
+        # a pair colliding in several bands lands here several times — the
+        # groupby unifies the duplicates so each pair is verified once
+        for (x, y), sub in g.groupby(["a", "b"]):
+            texts = dict(zip(sub["doc_id"], sub["text"]))
+            if len(texts) < 2:
+                continue     # half-joined pair (missing doc) — cannot verify
             sa, sb = shingle_hashes(texts[x]), shingle_hashes(texts[y])
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             jac = inter / union if union else 0.0
             if jac >= threshold:
-                keep["a"].append(x)
-                keep["b"].append(y)
+                keep["a"].append(int(x))
+                keep["b"].append(int(y))
                 keep["jaccard"].append(np.floor(jac * 1e6 + 0.5) / 1e6)
-        return pa.table({"a": pa.array(keep["a"], pa.int64()),
-                         "b": pa.array(keep["b"], pa.int64()),
-                         "jaccard": pa.array(keep["jaccard"], pa.float64())})
+        return pd.DataFrame({"a": pd.Series(keep["a"], dtype="int64"),
+                             "b": pd.Series(keep["b"], dtype="int64"),
+                             "jaccard": pd.Series(keep["jaccard"],
+                                                  dtype="float64")})
 
-    survivors = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
-    survivors = (survivors.drop_duplicates(["a", "b"])
-                 .sort_values(["a", "b"]).reset_index(drop=True))
-    return survivors
+    survivors = (joined.map_batches(tag_pair_shard, batch_format="pyarrow")
+                 .groupby("pshard").map_groups(verify_pairs,
+                                               batch_format="pandas")
+                 .to_pandas())
+    return survivors.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def simhash64(text: str) -> int:
@@ -814,15 +852,24 @@ def x_corpus_pipeline(sf_dir: str):
             rows["is_ocr"].append(1 if method == "ocr" else 0)
         return pa.table({"url": pa.array(rows["url"], pa.string()),
                          "text_md5": pa.array(rows["text_md5"], pa.string()),
+                         "shard": pa.array([int(h[:2], 16)
+                                            for h in rows["text_md5"]],
+                                           pa.int64()),
                          "tokens": pa.array(rows["tokens"], pa.int64()),
                          "is_ocr": pa.array(rows["is_ocr"], pa.int64())})
 
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("text_md5")
+                .agg(keep_url=("url", "min"), tokens=("tokens", "min"),
+                     is_ocr=("is_ocr", "min"), n_copies=("url", "size"))
+                .reset_index())
+        out["n_copies"] = out["n_copies"].astype("int64")
+        return out[["text_md5", "keep_url", "tokens", "is_ocr", "n_copies"]]
+
     gated = ds.map_batches(gate_and_hash, batch_format="pyarrow")
-    deduped = (gated.groupby("text_md5")
-                    .aggregate(Min("url", alias_name="keep_url"),
-                               Min("tokens", alias_name="tokens"),
-                               Min("is_ocr", alias_name="is_ocr"),
-                               Count(alias_name="n_copies")))
+    # sharded dedup groupby — same pattern (and rationale) as q_dedup_exact
+    deduped = gated.groupby("shard").map_groups(dedup_group,
+                                                batch_format="pandas")
     df = (deduped.groupby(None)
                  .aggregate(Count(alias_name="unique_docs"),
                             Sum("tokens", alias_name="total_tokens"),

