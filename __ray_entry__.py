@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_dup_pairs": C.q_embed_dup_pairs,
         "q_ann_lsh": C.q_ann_lsh,
         "q_ann_ivf": C.q_ann_ivf,
+        # prompt/template/tokenizer family (M1/M11/J2 + T4/D1 grids)
+        "q_prompt_tokens": C.q_prompt_tokens,
         # extraction flagship + multimodal
         "x_extract_pages": C.x_extract_pages,
         "x_payload_meta": C.x_payload_meta,
@@ -97,6 +99,10 @@ def oracle_sql() -> dict[str, str]:
         "q_customers_semi_anti": R.Q_SEMI_ANTI_SQL,
         "q_top3_orders_per_segment": R.Q_TOP3_PER_SEGMENT_SQL,
         "q_token_stats": C.Q_TOKEN_STATS_SQL,
+        "q_langid": C.Q_LANGID_SQL,
+        "q_simhash": C.Q_SIMHASH_SQL,
+        "q_ann_lsh": C.Q_ANN_LSH_SQL,
+        "q_ann_ivf": C.Q_ANN_IVF_SQL,
         "q_quality_by_lang": C.Q_QUALITY_SQL,
         "q_quality_filter": C.Q_QUALITY_FILTER_SQL,
         "q_doc_fingerprint": C.Q_FINGERPRINT_SQL,
@@ -105,7 +111,12 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_pairs": C.Q_JACCARD_PAIRS_SQL,
         "q_knn_cosine": C.Q_KNN_SQL,
         "q_embed_dup_pairs": C.Q_EMBED_DUP_SQL,
-        # rows-only (not SQL-expressible): q_langid, q_minhash_pairs,
-        # q_simhash, q_ann_lsh, x_extract_pages, x_payload_meta,
-        # x_extract_manifest
+        "q_prompt_tokens": C._build_prompt_tokens_sql(),
+        "x_extract_pages": C.Q_EXTRACT_PAGES_SQL,
+        "x_payload_meta": C.Q_PAYLOAD_META_SQL,
+        "x_extract_manifest": C.Q_EXTRACT_MANIFEST_SQL,
+        "x_corpus_pipeline": C.Q_CORPUS_PIPELINE_SQL,
+        # rows-only: q_minhash_pairs (banding pytest-verified vs brute
+        # force), x_extract_stage_totals (wall-clock timings), and the
+        # image/frame stages (binary+list columns; pytest byte gates)
     }

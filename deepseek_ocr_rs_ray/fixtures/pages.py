@@ -123,6 +123,7 @@ def gen_page(i: int, seed: int = SEED, max_bytes: int = 2 << 20) -> dict:
     style = "<style>body{margin:0} .x{color:#333}</style>"
     script = f"<script>var q={int(rng.integers(1 << 30))};</script>"
 
+    payload_meta = None
     if is_ocr_row(url):
         # degenerate DOM + raster payload → OCR fallback
         ocr_text = _ocr_text(rng)
@@ -133,6 +134,12 @@ def gen_page(i: int, seed: int = SEED, max_bytes: int = 2 << 20) -> dict:
         main = (f'<main><div class="scan">'
                 f'<img data-payload="{b64}" alt="scan"/></div></main>')
         body_text_bits = [title]
+        # generation-side ground truth for the payload header (the oracle
+        # for x_payload_meta: generator knows what it encoded, the pipeline
+        # must parse the same values back out of the binary column)
+        payload_meta = {"url": url, "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "glyph_scale": glyph_scale, "nbytes": len(payload)}
     else:
         # byte-length target from a seeded log-normal, clamped ~1 KB–2 MB
         target = int(np.clip(rng.lognormal(8.3, 1.1), 1024, max_bytes))
@@ -168,7 +175,23 @@ def gen_page(i: int, seed: int = SEED, max_bytes: int = 2 << 20) -> dict:
         "html": html_doc.encode("utf-8"),
         "text": dump,
         "lang": lang,
+        "payload_meta": payload_meta,
     }
+
+
+def expected_payload_meta(n_rows: int, seed: int = SEED) -> pa.Table:
+    """Generation-side expected (url, width, height, glyph_scale, nbytes)
+    for every OCR-routed row in [0, n_rows) — independent of the pipeline's
+    DOM walk and header parser, which must reproduce these values."""
+    metas = [gen_page(i, seed)["payload_meta"]
+             for i in range(n_rows) if is_ocr_row(page_url(i))]
+    return pa.table({
+        "url": pa.array([m["url"] for m in metas], pa.string()),
+        "width": pa.array([m["width"] for m in metas], pa.int64()),
+        "height": pa.array([m["height"] for m in metas], pa.int64()),
+        "glyph_scale": pa.array([m["glyph_scale"] for m in metas], pa.int64()),
+        "nbytes": pa.array([m["nbytes"] for m in metas], pa.int64()),
+    })
 
 
 def pages_table(n_rows: int, seed: int = SEED, start: int = 0) -> pa.Table:

@@ -130,10 +130,13 @@ def detect_lang(s: str) -> str:
     CJK presence → zh; otherwise the language whose stopword profile scores
     highest over the lowercased whitespace tokens; ties broken by fixed
     language order (en, de, fr); score 0 → unk.
+
+    Tokenization uses the explicit ASCII-whitespace set (repo rule: both
+    engines split identically) so the DuckDB oracle can mirror it exactly.
     """
     if _CJK_RE.search(s):
         return "zh"
-    toks = [t.lower() for t in _WS_RE.split(s.strip()) if t]
+    toks = [t.lower() for t in ascii_tokens(s)]
     if not toks:
         return "unk"
     best_lang, best_score = "unk", 0

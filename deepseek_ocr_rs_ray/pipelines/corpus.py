@@ -143,7 +143,9 @@ WHERE (CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || ch
 
 
 def q_langid(sf_dir: str):
-    """Language-id heuristic (rows-only: not expressible in SQL)."""
+    """Language-id heuristic; the SQL oracle mirrors the rule set exactly
+    (CJK regex → zh, else argmax of stopword hit counts with fixed en>de>fr
+    tie order, zero score → unk) over the same ASCII tokenization."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -152,6 +154,41 @@ def q_langid(sf_dir: str):
                          "lang_pred": pa.array([T.detect_lang(s) for s in texts])})
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _sql_str_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+# lowercased ASCII-ws tokens, as a reusable SQL fragment (same trim/split
+# idiom as Q_TOKEN_STATS_SQL)
+_SQL_LOWER_TOKS = (
+    r"list_filter(list_transform(regexp_split_to_array("
+    r"trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), "
+    r"'[ \t\n\f\r\v]+'), x -> lower(x)), x -> x <> '')"
+)
+
+Q_LANGID_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         {_SQL_LOWER_TOKS} AS toks,
+         regexp_matches(text, '[一-鿿㐀-䶿]') AS has_cjk
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, has_cjk,
+         len(list_filter(toks, x -> list_contains({_sql_str_list(T._STOPWORDS['en'])}, x))) AS s_en,
+         len(list_filter(toks, x -> list_contains({_sql_str_list(T._STOPWORDS['de'])}, x))) AS s_de,
+         len(list_filter(toks, x -> list_contains({_sql_str_list(T._STOPWORDS['fr'])}, x))) AS s_fr
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN has_cjk THEN 'zh'
+            WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'unk' END AS lang_pred
+FROM s
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -454,9 +491,15 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (md5-derived feature hashes)."""
+    """64-bit SimHash over word unigrams (md5-derived feature hashes).
+
+    Features are the DISTINCT lowercased ASCII-whitespace tokens (repo rule:
+    both engines tokenize identically); each feature's 64-bit hash is the
+    big-endian first 8 bytes of its md5 — the same value DuckDB derives via
+    ('0x' || substr(md5(w),1,16))::UBIGINT, making the op SQL-oracle-able.
+    """
     acc = [0] * 64
-    for tok in set(t.lower() for t in text.strip().split()):
+    for tok in set(t.lower() for t in T.ascii_tokens(text)):
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
         for i in range(64):
             acc[i] += 1 if (h >> i) & 1 else -1
@@ -467,8 +510,35 @@ def simhash64(text: str) -> int:
     return out
 
 
+Q_SIMHASH_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_SQL_LOWER_TOKS}) AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w FROM t
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv FROM tok
+), votes AS (
+  SELECT doc_id, s.i,
+         SUM(CASE WHEN (hv >> s.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(generate_series(0, 63)) AS i) s
+  GROUP BY doc_id, s.i
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << i ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM votes GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(CASE WHEN COALESCE(sig.u, 0) >= CAST(1 AS HUGEINT) << 63
+                 THEN COALESCE(sig.u, 0) - (CAST(1 AS HUGEINT) << 64)
+                 ELSE COALESCE(sig.u, 0) END AS BIGINT) AS simhash,
+       CAST(COALESCE(sig.u, 0) >> 48 AS BIGINT) AS bucket16
+FROM t LEFT JOIN sig ON t.doc_id = sig.doc_id
+"""
+
+
 def q_simhash(sf_dir: str):
-    """SimHash fingerprints + 16-bit prefix buckets (rows-only)."""
+    """SimHash fingerprints + 16-bit prefix buckets (SQL-oracled via
+    md5-hex→UBIGINT bit votes — see Q_SIMHASH_SQL)."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
@@ -604,12 +674,17 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
     quantizer an IVF index trains once and broadcasts).
 
     Seeded init + fixed Lloyd iterations + first-index tie-break on empty
-    clusters → bit-reproducible centroids.
+    clusters → bit-reproducible centroids. The sample is read directly with
+    pyarrow (first 2048 rows in file order) — the training step is
+    driver-side by design, so a Ray pass would only add scheduling cost.
     """
-    emb = read_table(sf_dir, "embeddings", ["embedding"])
+    import os
+
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
     sample = []
-    for b in emb.iter_batches(batch_format="pyarrow"):
-        sample.extend(b.column("embedding").to_pylist())
+    for b in pf.iter_batches(batch_size=2048, columns=["embedding"]):
+        sample.extend(b.column(0).to_pylist())
         if len(sample) >= 2048:
             break
     x = np.array(sample[:2048], dtype=np.float32).astype(np.float64)
@@ -629,13 +704,42 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
     return cent
 
 
+AUX_DIR = "/tmp/dsocr_oracle_aux"
+
+
+def _write_centroids_aux(cent: np.ndarray) -> None:
+    """Publish the (data-derived) IVF centroids for the SQL oracle.
+
+    The centroids are MODEL PARAMETERS shared by both engines (like the
+    broadcast in the Ray path); the oracle still independently computes the
+    cell assignment, probe-cell pruning, cosine rescoring and top-k. Written
+    atomically so a concurrent oracle read never sees a torn file.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    os.makedirs(AUX_DIR, exist_ok=True)
+    k, dim = cent.shape
+    t = pa.table({
+        "c": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
+        "i": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), k)),
+        "w": pa.array(cent.reshape(-1).astype(np.float64)),
+    })
+    path = os.path.join(AUX_DIR, "ivf_centroids.parquet")
+    pq.write_table(t, path + ".tmp")
+    os.replace(path + ".tmp", path)
+
+
 def q_ann_ivf(sf_dir: str, k: int = 10):
     """IVF-style ANN (the scale path): broadcast seeded-k-means centroids,
     per-batch assignment, exact rescoring only inside the query's IVF_PROBES
-    nearest cells (rows-only; recall vs brute force tested in pytest)."""
+    nearest cells. SQL-oracled: the centroids are published to AUX_DIR and
+    the oracle recomputes assignment/pruning/top-k from them independently
+    (recall vs brute force additionally tested in pytest)."""
     import ray
     q = _load_query_vec(sf_dir)
     cent = _ivf_centroids(sf_dir)
+    _write_centroids_aux(cent)
     qn = q / np.sqrt(np.dot(q, q))
     probe_cells = set(np.argsort(-(cent @ qn), kind="stable")[:IVF_PROBES].tolist())
     state = ray.put((q, cent, probe_cells))
@@ -695,6 +799,74 @@ def q_ann_lsh(sf_dir: str, k: int = 10):
               .head(k).reset_index(drop=True))
 
 
+def _lsh_planes_sql_values() -> str:
+    """The seeded hyperplanes as SQL VALUES rows (j, i, w) — data-independent,
+    so they embed as literals and keep the oracle self-contained. repr()
+    floats round-trip exactly to the same IEEE doubles in DuckDB."""
+    rng = np.random.default_rng(0xA2217)
+    planes = rng.standard_normal((LSH_PLANES, 64))
+    return ", ".join(f"({j}, {i + 1}, {planes[j, i]!r})"
+                     for j in range(LSH_PLANES) for i in range(64))
+
+
+_SQL_COS_TOPK = """
+terms AS (
+  SELECT e.vec_id,
+         CAST(e.embedding[i] AS DOUBLE) AS x,
+         CAST(qe.embedding[i] AS DOUBLE) AS y
+  FROM embeddings e
+  JOIN cand USING (vec_id)
+  JOIN embeddings qe ON qe.vec_id = 0,
+       generate_series(1, 64) AS t(i)
+)
+SELECT vec_id,
+       FLOOR(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) * 1000000 + 0.5)/1000000 AS cos
+FROM terms
+GROUP BY vec_id
+ORDER BY cos DESC, vec_id ASC
+LIMIT 10
+"""
+
+Q_ANN_LSH_SQL = f"""
+WITH plane(j, i, w) AS (VALUES {_lsh_planes_sql_values()}),
+dots AS (
+  SELECT e.vec_id, p.j, SUM(CAST(e.embedding[p.i] AS DOUBLE) * p.w) AS d
+  FROM embeddings e, plane p
+  GROUP BY e.vec_id, p.j
+),
+sig AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 << (11 - j) ELSE 0 END) AS BIGINT) AS s
+  FROM dots GROUP BY vec_id
+),
+q AS (SELECT s AS qs FROM sig WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id FROM sig, q WHERE bit_count(xor(s, qs)) <= 1
+),
+{_SQL_COS_TOPK}
+"""
+
+Q_ANN_IVF_SQL = f"""
+WITH cent AS (SELECT c, i, w FROM read_parquet('{AUX_DIR}/ivf_centroids.parquet')),
+adots AS (
+  SELECT e.vec_id, cent.c, SUM(CAST(e.embedding[cent.i] AS DOUBLE) * cent.w) AS d
+  FROM embeddings e, cent
+  GROUP BY e.vec_id, cent.c
+),
+assign AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+    FROM adots) WHERE rn = 1
+),
+qcells AS (SELECT c FROM adots WHERE vec_id = 0 ORDER BY d DESC, c ASC LIMIT {IVF_PROBES}),
+cand AS (
+  SELECT vec_id FROM assign WHERE c IN (SELECT c FROM qcells)
+),
+{_SQL_COS_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # extraction + multimodal over the pages fixture (rows-only)
 # ---------------------------------------------------------------------------
@@ -712,23 +884,93 @@ def _pages_dir_for(sf_dir: str) -> str:
     return pages_fixture_dir(pages_rows_for(sf_dir))
 
 
+_GOLDEN_CACHE: dict = {}
+
+
+def _oracle_golden(sf_dir: str):
+    """(pages, golden, size_cuts) from the single-process oracle extractor,
+    cached per sf within the session (three queries share it)."""
+    import glob
+
+    from ..config import ExtractConfig
+    from ..fixtures.pages import pages_table
+    from ..oracle import oracle_extract_pages
+    from .extract import compute_size_cuts
+    n = pages_rows_for(sf_dir)
+    if n not in _GOLDEN_CACHE:
+        d = _pages_dir_for(sf_dir)
+        files = sorted(glob.glob(d + "/*.parquet"))
+        cuts = compute_size_cuts(files, ExtractConfig())
+        pages = pages_table(n)
+        _GOLDEN_CACHE[n] = (pages, oracle_extract_pages(pages), cuts)
+    return _GOLDEN_CACHE[n]
+
+
+Q_EXTRACT_PAGES_SQL = (
+    f"SELECT url, extracted_text, method, n_tiles, size_class, html_bytes "
+    f"FROM read_parquet('{AUX_DIR}/extract_expected.parquet')")
+
+
+def _write_expected_extract(sf_dir: str) -> None:
+    """Publish the oracle extractor's per-url golden rows (the byte-identity
+    contract) for the driver gate to hash against the Ray pipeline."""
+    from ..stages.dom import size_class_of
+    pages, golden, cuts = _oracle_golden(sf_dir)
+    html_lens = [len(h) for h in pages.column("html").to_pylist()]
+    t = pa.table({
+        "url": golden.column("url"),
+        "extracted_text": golden.column("extracted_text"),
+        "method": golden.column("method"),
+        "n_tiles": golden.column("n_tiles"),
+        "size_class": pa.array([size_class_of(L, cuts) for L in html_lens],
+                               pa.int32()),
+        "html_bytes": pa.array(html_lens, pa.int64()),
+    })
+    _write_aux_table(t, "extract_expected.parquet")
+
+
 def x_extract_pages(sf_dir: str):
-    """The flagship pipeline as a query: pages fixture sized by sf."""
+    """The flagship pipeline as a query: pages fixture sized by sf.
+    SQL-oracled against the single-process oracle extractor's golden rows
+    (byte-identical extracted_text per url — the core contract)."""
     import glob
     from .extract import build_extract_dataset
     d = _pages_dir_for(sf_dir)
+    _write_expected_extract(sf_dir)
     ds = build_extract_dataset(sorted(glob.glob(d + "/*.parquet")))
     return ds.select_columns(["url", "extracted_text", "method", "n_tiles",
                               "size_class", "html_bytes"])
 
 
+def _write_aux_table(t: pa.Table, name: str) -> None:
+    """Atomically publish an expected/aux table for a SQL oracle to read."""
+    import os
+
+    import pyarrow.parquet as pq
+    os.makedirs(AUX_DIR, exist_ok=True)
+    path = os.path.join(AUX_DIR, name)
+    pq.write_table(t, path + ".tmp")
+    os.replace(path + ".tmp", path)
+
+
+Q_PAYLOAD_META_SQL = (f"SELECT url, width, height, glyph_scale, nbytes "
+                      f"FROM read_parquet('{AUX_DIR}/payload_meta_expected.parquet')")
+
+
 def x_payload_meta(sf_dir: str):
     """Multimodal metadata probe: RAW2 headers of the raster payloads
-    (no decompression — the cheap schema pass over an opaque binary col)."""
+    (no decompression — the cheap schema pass over an opaque binary col).
+
+    SQL-oracled against the GENERATOR's expected header table (written to
+    AUX_DIR here): the fixture knows what it encoded; the pipeline's DOM
+    walk + header parse must reproduce it."""
     import glob
     import ray.data
+    from ..fixtures.pages import expected_payload_meta
     from ..functions.dom import extract_dom
     from ..functions.raster import payload_meta
+    _write_aux_table(expected_payload_meta(pages_rows_for(sf_dir)),
+                     "payload_meta_expected.parquet")
     d = _pages_dir_for(sf_dir)
     pages = ray.data.read_parquet(sorted(glob.glob(d + "/*.parquet")),
                                   columns=["url", "html"])
@@ -805,24 +1047,244 @@ def x_frame_samples(sf_dir: str):
                           batch_size=32, concurrency=2)
 
 
+# --- q_prompt_tokens: M1 (template render) + M11 (placeholder expansion) ---
+# The prompt text around the <image> slot is a CONSTANT of the operator, so
+# its token count embeds as a literal; the data-dependent part (the tile
+# grid from the payload dims, and with it the placeholder count) is derived
+# arithmetically by the oracle from the generator's expected payload dims.
+
+_PROMPT_RAW = "<image>\nFree OCR."
+
+
+def _prompt_constants():
+    from ..functions.prompt import num_queries
+    from ..functions.templates import render_prompt
+    rendered = render_prompt("deepseek", "", _PROMPT_RAW)
+    n_text = 1 + sum(len(seg.split()) for seg in rendered.split("<image>"))
+    return rendered, n_text, num_queries(640), num_queries(1024)
+
+
+def _tiling_candidates_sql() -> str:
+    from ..functions.imageops import candidate_grids
+    return ", ".join(f"({w}, {h})" for w, h in candidate_grids(2, 9))
+
+
+def _build_prompt_tokens_sql() -> str:
+    _, n_text, nq_l, nq_g = _prompt_constants()
+    n_global = nq_g * (nq_g + 1) + 1
+    return rf"""
+WITH m AS (
+  SELECT url, width, height
+  FROM read_parquet('{AUX_DIR}/payload_meta_expected.parquet')
+), cand(w, h) AS (VALUES {_tiling_candidates_sql()}),
+diffs AS (
+  SELECT m.url, cand.w, cand.h,
+         ABS(CAST(m.width AS DOUBLE)/m.height
+             - CAST(cand.w AS DOUBLE)/cand.h) AS diff,
+         CAST(m.width AS DOUBLE)*m.height
+             > 0.5*640*640*cand.w*cand.h AS area_ok
+  FROM m, cand
+),
+mins AS (SELECT url, MIN(diff) AS md FROM diffs GROUP BY url),
+ties AS (
+  SELECT d.* FROM diffs d JOIN mins USING (url) WHERE d.diff = mins.md
+),
+pick AS (
+  SELECT url, w, h FROM (
+    SELECT url, w, h,
+           ROW_NUMBER() OVER (PARTITION BY url
+             ORDER BY area_ok DESC,
+                      CASE WHEN area_ok THEN -(w*100 + h)
+                           ELSE (w*100 + h) END ASC) AS rn
+    FROM ties) WHERE rn = 1
+),
+shape AS (
+  SELECT m.url,
+         CASE WHEN m.width <= 640 AND m.height <= 640 THEN 1 ELSE p.w END AS wc,
+         CASE WHEN m.width <= 640 AND m.height <= 640 THEN 1 ELSE p.h END AS hc
+  FROM m JOIN pick p USING (url)
+)
+SELECT url,
+       CAST(wc AS BIGINT) AS width_crops,
+       CAST(hc AS BIGINT) AS height_crops,
+       CAST(CASE WHEN wc > 1 OR hc > 1
+                 THEN ({nq_l}*hc) * ({nq_l}*wc + 1) ELSE 0 END
+            + {n_global} AS BIGINT) AS n_image_tokens,
+       CAST({n_text} AS BIGINT) AS n_text_tokens,
+       CAST(CASE WHEN wc > 1 OR hc > 1
+                 THEN ({nq_l}*hc) * ({nq_l}*wc + 1) ELSE 0 END
+            + {n_global} + {n_text} AS BIGINT) AS n_tokens
+FROM shape
+"""
+
+
+def q_prompt_tokens(sf_dir: str):
+    """Template render (M1) + tokenize with placeholder expansion (M11) per
+    raster payload; the tile grid comes from the payload dims (T4/D1).
+    SQL-oracled: constant text-token count + arithmetic placeholder layout
+    over the generator's expected payload dims."""
+    import glob
+
+    import ray.data
+
+    from ..config import TilingParams
+    from ..fixtures.pages import expected_payload_meta
+    from ..functions.dom import extract_dom
+    from ..functions.imageops import best_grid
+    from ..functions.prompt import Vocab, build_prompt_tokens
+    from ..functions.raster import payload_meta
+    _write_aux_table(expected_payload_meta(pages_rows_for(sf_dir)),
+                     "payload_meta_expected.parquet")
+    rendered, _, _, _ = _prompt_constants()
+    params = TilingParams.ocr1()
+    d = _pages_dir_for(sf_dir)
+    pages = ray.data.read_parquet(sorted(glob.glob(d + "/*.parquet")),
+                                  columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = {"url": [], "width_crops": [], "height_crops": [],
+                "n_image_tokens": [], "n_text_tokens": [], "n_tokens": []}
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            res = extract_dom(html)
+            if res["payload"] is None:
+                continue
+            meta = payload_meta(res["payload"])
+            if meta is None:
+                continue
+            w, h = meta["width"], meta["height"]
+            thr = params.small_image_no_crop_threshold
+            if thr is not None and w <= thr and h <= thr:
+                crop = (1, 1)
+            else:
+                crop = best_grid(w, h, params)
+            tokens, mask = build_prompt_tokens(
+                Vocab(), rendered, [crop], base_size=params.base_size,
+                image_size=params.tile_size, crop_mode=True)
+            n_img = int(mask.sum())
+            rows["url"].append(url)
+            rows["width_crops"].append(crop[0])
+            rows["height_crops"].append(crop[1])
+            rows["n_image_tokens"].append(n_img)
+            rows["n_text_tokens"].append(len(tokens) - n_img)
+            rows["n_tokens"].append(len(tokens))
+        return pa.table({
+            "url": pa.array(rows["url"], pa.string()),
+            "width_crops": pa.array(rows["width_crops"], pa.int64()),
+            "height_crops": pa.array(rows["height_crops"], pa.int64()),
+            "n_image_tokens": pa.array(rows["n_image_tokens"], pa.int64()),
+            "n_text_tokens": pa.array(rows["n_text_tokens"], pa.int64()),
+            "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+        })
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
+Q_EXTRACT_MANIFEST_SQL = (
+    f"SELECT partition_id, size_class, row_count, ocr_rows, content_hash, "
+    f"status FROM read_parquet('{AUX_DIR}/manifest_expected.parquet')")
+
+
+def _expected_manifest_table(sf_dir: str) -> pa.Table:
+    """Driver-side single-process derivation of the lineage manifest: the
+    oracle extractor (plain Python loop, no Ray) produces per-row text and
+    method; wave/size-class assignment and the XOR content hash follow the
+    documented manifest spec. The distributed job must reproduce this
+    exactly at any parallelism."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ..stages.dom import size_class_of
+    from .extract import _row_hash_xor
+
+    d = _pages_dir_for(sf_dir)
+    files = sorted(glob.glob(d + "/*.parquet"))
+    wave_size = 8
+    file_rows = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    wave_of_row = np.repeat(
+        [fi // wave_size for fi in range(len(files))], file_rows)
+
+    pages, golden, cuts = _oracle_golden(sf_dir)
+    sc = [size_class_of(len(h), cuts)
+          for h in pages.column("html").to_pylist()]
+    agg: dict = {}
+    for w, s, u, txt, m in zip(wave_of_row, sc,
+                               golden.column("url").to_pylist(),
+                               golden.column("extracted_text").to_pylist(),
+                               golden.column("method").to_pylist()):
+        a = agg.setdefault((int(w), int(s)), {"rc": 0, "ocr": 0, "h": 0})
+        a["rc"] += 1
+        a["ocr"] += int(m == "ocr")
+        a["h"] ^= _row_hash_xor([u], [txt])
+    keys = sorted(agg)
+    return pa.table({
+        "partition_id": pa.array([k[0] for k in keys], pa.int32()),
+        "size_class": pa.array([k[1] for k in keys], pa.int32()),
+        "row_count": pa.array([agg[k]["rc"] for k in keys], pa.int64()),
+        "ocr_rows": pa.array([agg[k]["ocr"] for k in keys], pa.int64()),
+        "content_hash": pa.array([f"{agg[k]['h'] & ((1 << 128) - 1):032x}"
+                                  for k in keys], pa.string()),
+        "status": pa.array(["committed"] * len(keys), pa.string()),
+    })
+
+
 def x_extract_manifest(sf_dir: str):
     """Run the resumable job (cached across calls via committed waves) and
-    return its lineage manifest — exercises commit/resume as an operator."""
+    return its lineage manifest — exercises commit/resume as an operator.
+    SQL-oracled against the single-process expected manifest (AUX_DIR)."""
     import glob
     from ..state import manifest as mfst
     from .extract import run_extract_job
     d = _pages_dir_for(sf_dir)
     out = d.rstrip("/") + "_out"
     run_extract_job(sorted(glob.glob(d + "/*.parquet")), out, wave_size=8)
+    _write_aux_table(_expected_manifest_table(sf_dir),
+                     "manifest_expected.parquet")
     t = mfst.read_manifest(out)
     return t.select(["partition_id", "size_class", "row_count", "ocr_rows",
                      "content_hash", "status"])
 
 
+Q_CORPUS_PIPELINE_SQL = (
+    f"SELECT unique_docs, total_tokens, ocr_docs, docs_after_gate "
+    f"FROM read_parquet('{AUX_DIR}/corpus_summary_expected.parquet')")
+
+
+def _write_expected_corpus_summary(sf_dir: str) -> None:
+    """Single-process derivation of the composed pipeline's summary row:
+    oracle extractor → same gate predicate → dict-based dedup → rollup."""
+    _, golden, _ = _oracle_golden(sf_dir)
+    agg: dict = {}
+    for url, text, method in zip(golden.column("url").to_pylist(),
+                                 golden.column("extracted_text").to_pylist(),
+                                 golden.column("method").to_pylist()):
+        toks = T.ascii_tokens(text)
+        if len(toks) < 5 or sum(len(x) for x in toks) / len(toks) >= 20.0:
+            continue
+        key = T.md5_hex(text)
+        a = agg.setdefault(key, {"tokens": len(toks),
+                                 "is_ocr": 1 if method == "ocr" else 0,
+                                 "n": 0})
+        a["tokens"] = min(a["tokens"], len(toks))
+        a["is_ocr"] = min(a["is_ocr"], 1 if method == "ocr" else 0)
+        a["n"] += 1
+    t = pa.table({
+        "unique_docs": pa.array([len(agg)], pa.int64()),
+        "total_tokens": pa.array([sum(a["tokens"] for a in agg.values())],
+                                 pa.int64()),
+        "ocr_docs": pa.array([sum(a["is_ocr"] for a in agg.values())],
+                             pa.int64()),
+        "docs_after_gate": pa.array([sum(a["n"] for a in agg.values())],
+                                    pa.int64()),
+    })
+    _write_aux_table(t, "corpus_summary_expected.parquet")
+
+
 def x_corpus_pipeline(sf_dir: str):
     """The composed training-data pipeline: extraction → quality filter →
     exact dedup → corpus stats. One streaming pass plus one hash-groupby
-    (the dedup); returns a single summary row.
+    (the dedup); returns a single summary row. SQL-oracled against the
+    single-process derivation (oracle extractor + dict dedup).
 
         pages → DOM/OCR extraction (flagship)
               → quality gate (ASCII token count ≥ 5, mean token len < 20)
@@ -830,9 +1292,10 @@ def x_corpus_pipeline(sf_dir: str):
               → corpus rollup (docs, tokens, ocr share)
     """
     import glob
-    from ray.data.aggregate import Count, Min, Sum
+    from ray.data.aggregate import Count, Sum
     from .extract import build_extract_dataset
     d = _pages_dir_for(sf_dir)
+    _write_expected_corpus_summary(sf_dir)
     ds = build_extract_dataset(sorted(glob.glob(d + "/*.parquet")))
 
     def gate_and_hash(t: pa.Table) -> pa.Table:
