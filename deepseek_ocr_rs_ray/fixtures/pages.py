@@ -29,6 +29,9 @@ from ..functions.raster import CHARSET, DEFAULT_MARGIN, encode_payload, render_t
 from ..functions.textops import crc32_str
 
 SEED = 42
+# bump when generated content changes: versions the cached fixture dirs so
+# stale /tmp caches (marked _COMPLETE) regenerate instead of serving old rows
+FIXTURE_VERSION = 2
 EPOCH_2026_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 _LANGS = ["en", "de", "zh", "fr", "unk"]
@@ -89,16 +92,13 @@ def _link_farm(rng: np.random.Generator, n: int) -> str:
     return "<ul>" + "".join(items) + "</ul>"
 
 
-def _ocr_text(rng: np.random.Generator) -> str:
-    """Lines of CHARSET words for the rendered page image."""
-    n_lines = int(rng.integers(2, 13))
-    if rng.random() < 0.15:
-        n_lines = int(rng.integers(13, 25))
+def _ocr_lines(rng: np.random.Generator, n_lines: int,
+               lo: int, hi: int, burst_hi: int) -> str:
     lines = []
     for _ in range(n_lines):
-        width = int(rng.integers(8, 41))
-        if rng.random() < 0.2:
-            width = int(rng.integers(41, 65))
+        width = int(rng.integers(lo, hi))
+        if burst_hi > hi and rng.random() < 0.2:
+            width = int(rng.integers(hi, burst_hi))
         chars = []
         while len(chars) < width:
             wl = int(rng.integers(2, 8))
@@ -106,6 +106,22 @@ def _ocr_text(rng: np.random.Generator) -> str:
             chars.append(" ")
         lines.append("".join(chars[:width]).rstrip())
     return "\n".join(lines)
+
+
+def _ocr_text(rng: np.random.Generator) -> str:
+    """Lines of CHARSET words for the rendered page image."""
+    n_lines = int(rng.integers(2, 13))
+    if rng.random() < 0.15:
+        n_lines = int(rng.integers(13, 25))
+    return _ocr_lines(rng, n_lines, 8, 41, 65)
+
+
+def _dense_ocr_text(rng: np.random.Generator) -> str:
+    """Wide dense scan: at glyph_scale 2 the canvas exceeds 2048 px, so one
+    glyph pixel maps to < 1 global-view pixel — decodable only via the
+    dynamic tiles (the M5 end-to-end case)."""
+    n_lines = int(rng.integers(8, 17))
+    return _ocr_lines(rng, n_lines, 180, 201, 0)
 
 
 def gen_page(i: int, seed: int = SEED, max_bytes: int = 2 << 20) -> dict:
@@ -125,9 +141,11 @@ def gen_page(i: int, seed: int = SEED, max_bytes: int = 2 << 20) -> dict:
 
     payload_meta = None
     if is_ocr_row(url):
-        # degenerate DOM + raster payload → OCR fallback
-        ocr_text = _ocr_text(rng)
-        glyph_scale = int(rng.choice([2, 3, 4]))
+        # degenerate DOM + raster payload → OCR fallback; ~25% are dense
+        # wide scans whose glyph grid out-resolves the 1024px global view
+        dense = rng.random() < 0.25
+        ocr_text = _dense_ocr_text(rng) if dense else _ocr_text(rng)
+        glyph_scale = 2 if dense else int(rng.choice([2, 3, 4]))
         img = render_text_image(ocr_text, glyph_scale, DEFAULT_MARGIN)
         payload = encode_payload(img, glyph_scale, DEFAULT_MARGIN)
         b64 = base64.b64encode(payload).decode("ascii")
@@ -256,5 +274,5 @@ def generate_pages_parquet(out_dir: str, n_rows: int, seed: int = SEED,
 def pages_fixture_dir(n_rows: int, seed: int = SEED,
                       root: str = "/tmp/dsocr_fixtures") -> str:
     """Cached fixture directory for a given size (generated on first use)."""
-    out = os.path.join(root, f"pages_n{n_rows}_s{seed}")
+    out = os.path.join(root, f"pages_n{n_rows}_s{seed}_v{FIXTURE_VERSION}")
     return generate_pages_parquet(out, n_rows, seed)

@@ -27,7 +27,7 @@ import numpy as np
 from ..config import DecodeParameters, ExtractConfig, TilingParams, VisionSettings
 from . import raster
 from .dom import extract_dom
-from .imageops import tile_count
+from .imageops import best_grid, global_view_transform
 from .sampling import NgramBanState, select_token_id
 from .textops import normalize_text
 
@@ -45,10 +45,13 @@ def ocr_decode_page(payload: bytes, vision: VisionSettings,
     h, w = img.shape[:2]
 
     global_size = vision.base_size if vision.crop_mode else vision.image_size
+    grid = (1, 1)
+    n_tiles = 0
     if vision.crop_mode:
-        n_tiles = tile_count(w, h, tiling)
-    else:
-        n_tiles = 0
+        thr = tiling.small_image_no_crop_threshold
+        if not (thr is not None and w <= thr and h <= thr):
+            grid = best_grid(w, h, tiling)
+            n_tiles = grid[0] * grid[1]
 
     rows, cols = raster.grid_shape(w, h, glyph_scale, margin)
     if rows == 0 or cols == 0:
@@ -56,11 +59,22 @@ def ocr_decode_page(payload: bytes, vision: VisionSettings,
 
     # visual context: per-cell patterns + ink, and remaining-ink suffix sums
     # (the stand-in for attending over all vision tokens at each step).
-    # sample_patterns_direct evaluates the global-view transform lazily at
-    # exactly the sampled pixels — bit-identical to building the canvas
-    # (raster.py docstring; parity test in tests/test_raster.py).
-    patterns = raster.sample_patterns_direct(
-        img, global_size, glyph_scale, margin, rows, cols)
+    # Source selection (M5): when the global view under-resolves — one
+    # glyph pixel maps to < 1 canvas pixel (glyph_scale * scale < 1), so
+    # patterns sampled from it are unreliable — read the glyphs from the
+    # dynamic-tile resize instead, like the reference decoding from the
+    # tile embeddings alongside the global view
+    # (crates/infer-deepseek/src/model/mod.rs:2457-2492). Both samplers
+    # evaluate the transform lazily at exactly the sampled pixels —
+    # bit-identical to building the canvas/tiles (tests/test_raster.py).
+    scale = global_view_transform(w, h, global_size)[0]
+    use_tiles = n_tiles > 0 and glyph_scale * scale < 1.0
+    if use_tiles:
+        patterns = raster.sample_patterns_tiled(
+            img, tiling.tile_size, grid, glyph_scale, margin, rows, cols)
+    else:
+        patterns = raster.sample_patterns_direct(
+            img, global_size, glyph_scale, margin, rows, cols)
     all_logits = raster.all_cell_logits(patterns)
     ink = patterns.reshape(rows, cols, -1).sum(axis=2).astype(np.int64)
     flat_ink = ink.reshape(-1)

@@ -192,10 +192,41 @@ def sample_patterns_direct(img: np.ndarray, base_size: int, glyph_scale: int,
     row/column windows (exact clip8 discipline preserved; parity asserted in
     tests). Avoids materializing the base_size² canvas per page.
     """
-    from .imageops import ROUNDING_BIAS, PRECISION_BITS, _compute_coeffs, \
-        global_view_transform
+    from .imageops import global_view_transform
     h, w = img.shape[:2]
     scale, new_w, new_h, x_off, y_off = global_view_transform(w, h, base_size)
+    return _sample_patterns_resized(img, new_w, new_h, scale, scale,
+                                    glyph_scale, margin, rows, cols)
+
+
+def sample_patterns_tiled(img: np.ndarray, tile_size: int,
+                          grid: Tuple[int, int], glyph_scale: int,
+                          margin: int, rows: int, cols: int) -> np.ndarray:
+    """Glyph patterns read from the DYNAMIC-TILE resize (M5 end-to-end).
+
+    ``dynamic_tile`` resizes the page to ``tile_size*grid`` (anisotropic)
+    and crops non-overlapping tiles that exactly cover that resize —
+    sampling the resize IS sampling the tile stack, the same way the
+    reference's decoder attends over the tile embeddings when the global
+    view under-resolves (crates/infer-deepseek/src/model/mod.rs:2457-2492,
+    tile stack 1707-1758). Same windowed fixed-point bicubic as the global
+    path, with per-axis scales and no canvas padding.
+    """
+    h, w = img.shape[:2]
+    tw, th = tile_size * grid[0], tile_size * grid[1]
+    return _sample_patterns_resized(img, tw, th, tw / w, th / h,
+                                    glyph_scale, margin, rows, cols)
+
+
+def _sample_patterns_resized(img: np.ndarray, new_w: int, new_h: int,
+                             scale_x: float, scale_y: float,
+                             glyph_scale: int, margin: int,
+                             rows: int, cols: int) -> np.ndarray:
+    """Shared windowed-bicubic glyph sampler over a virtual (new_w, new_h)
+    resize of ``img`` — bit-identical to materializing the resize with
+    ``resize_bicubic`` and nearest-sampling glyph-pixel centers."""
+    from .imageops import ROUNDING_BIAS, PRECISION_BITS, _compute_coeffs
+    h, w = img.shape[:2]
 
     col_i = np.arange(cols)
     row_i = np.arange(rows)
@@ -203,8 +234,8 @@ def sample_patterns_direct(img: np.ndarray, base_size: int, glyph_scale: int,
     gy_i = np.arange(GLYPH_H)
     sx = ((margin + col_i[:, None] * CELL_W + gx_i[None, :]) + 0.5) * glyph_scale
     sy = ((margin + row_i[:, None] * CELL_H + gy_i[None, :]) + 0.5) * glyph_scale
-    rx = np.clip((sx * scale).astype(np.int64), 0, new_w - 1)   # (cols, GW)
-    ry = np.clip((sy * scale).astype(np.int64), 0, new_h - 1)   # (rows, GH)
+    rx = np.clip((sx * scale_x).astype(np.int64), 0, new_w - 1)   # (cols, GW)
+    ry = np.clip((sy * scale_y).astype(np.int64), 0, new_h - 1)   # (rows, GH)
 
     ux, inv_x = np.unique(rx, return_inverse=True)
     uy, inv_y = np.unique(ry, return_inverse=True)
