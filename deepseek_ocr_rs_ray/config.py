@@ -84,6 +84,12 @@ class ExtractConfig:
     # OCR stage batch size; None = per-block like the DOM stage (most rows
     # pass through untouched, so small fixed batches would only add overhead)
     ocr_batch_size: Optional[int] = None
+    # CPU request for the DOM task stage. A value different from
+    # ocr_num_cpus makes the stages' remote args incompatible, which blocks
+    # Ray's task→actor operator fusion: DOM work then spreads over every
+    # free CPU as ordinary tasks instead of being capped at the OCR pool's
+    # concurrency. None = 1.0 (fuses with a 1.0-CPU OCR pool).
+    dom_num_cpus: Optional[float] = None
     # OCR actor-pool size; None = adapt to the cluster (total CPUs - 2)
     ocr_concurrency: Optional[int] = None
     ocr_num_cpus: float = 1.0

@@ -379,15 +379,21 @@ def minhash_signature(text: str, a: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
-def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
+MINHASH_PAIR_CAP = 2_000_000
+
+
+def q_minhash_pairs(sf_dir: str, threshold: float = 0.5,
+                    broadcast_cap: int = MINHASH_PAIR_CAP):
     """MinHash+LSH candidate mining → exact shingle-Jaccard verification.
 
     Signature/band stages are map_batches; the first shuffle moves only
     (band, bucket, doc_id) triples. Verification never materializes the
-    corpus on the driver: candidate pairs explode to one row per side,
-    hash-join back to the documents table on doc_id (both sides partitioned
-    — only candidate docs' texts survive the join), then co-group by a
-    bounded pair-hash shard and compute exact shingle Jaccard per pair.
+    corpus on the driver. Fast path (candidate pairs <= broadcast_cap): the
+    PAIR LIST (small side) broadcasts via ray.put, one map over documents
+    attaches texts to the pairs each doc participates in, and a bounded
+    pair-hash-shard co-group verifies — the only shuffle moves candidate
+    docs' texts. Above the cap it cuts over to a hash-partitioned
+    Dataset.join of the exploded pair sides against the corpus.
     """
     import ray
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
@@ -400,77 +406,89 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
         n = t.num_rows
         bucket = np.empty(n * LSH_BANDS, dtype=np.uint64)
         doc = np.empty(n * LSH_BANDS, dtype=np.int64)
+        sig_bytes: list = []
         band = np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
         mix = np.uint64(0xC2B2AE3D27D4EB4F)
         for i, (doc_id, text) in enumerate(zip(t["doc_id"].to_pylist(),
                                                t["text"].to_pylist())):
-            sig = minhash_signature(text, a_params).reshape(LSH_BANDS, LSH_ROWS)
+            full = minhash_signature(text, a_params)
+            sig = full.reshape(LSH_BANDS, LSH_ROWS)
             # fold each band's rows into one 64-bit bucket key
             bk = sig[:, 0]
             for r in range(1, LSH_ROWS):
                 bk = (bk * mix) ^ sig[:, r]
             bucket[i * LSH_BANDS:(i + 1) * LSH_BANDS] = bk
             doc[i * LSH_BANDS:(i + 1) * LSH_BANDS] = doc_id
+            # the full signature rides along (512 B per band row) so the
+            # mining groups can estimate-prefilter pairs without another
+            # corpus pass or any text movement
+            sig_bytes.extend([full.tobytes()] * LSH_BANDS)
         shard = (bucket & np.uint64(N_SHARDS - 1)).astype(np.int64)
         return pa.table({"shard": pa.array(shard),
                          "band": pa.array(band, pa.int32()),
                          "bucket": pa.array(bucket.view(np.int64)),
-                         "doc_id": pa.array(doc, pa.int64())})
+                         "doc_id": pa.array(doc, pa.int64()),
+                         "sig": pa.array(sig_bytes, pa.binary())})
 
     banded = docs.map_batches(bands, batch_format="pyarrow")
 
     def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Bucket-collision pairs, estimate-prefiltered in place: the exact
+        64-perm signature estimate (std≈0.0625 at j=0.5) keeps a pair only
+        when est >= threshold - MINHASH_EST_MARGIN, killing the banding's
+        false positives before anything else moves (precision is still
+        exact — survivors get full shingle verification downstream)."""
         out_a: list = []
         out_b: list = []
-        for _, ids in g.groupby(["band", "bucket"])["doc_id"]:
+        sub = g.drop_duplicates(["band", "bucket", "doc_id"])
+        sig_of = {int(d): np.frombuffer(s, dtype=np.uint64)
+                  for d, s in zip(sub["doc_id"], sub["sig"])}
+        seen: set = set()
+        for _, ids in sub.groupby(["band", "bucket"])["doc_id"]:
             if len(ids) < 2:
                 continue
             uniq = sorted(set(int(x) for x in ids))
             for i in range(len(uniq)):
                 for j in range(i + 1, len(uniq)):
-                    out_a.append(uniq[i])
-                    out_b.append(uniq[j])
+                    p = (uniq[i], uniq[j])
+                    if p in seen:
+                        continue
+                    seen.add(p)
+                    est = (sig_of[p[0]] == sig_of[p[1]]).mean()
+                    if est >= threshold - MINHASH_EST_MARGIN:
+                        out_a.append(p[0])
+                        out_b.append(p[1])
         return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
                              "b": pd.Series(out_b, dtype="int64")})
 
     cand = banded.groupby("shard").map_groups(local_pairs,
                                               batch_format="pandas")
 
-    # one row per (pair, side): the unit the text join attaches to
-    def explode_sides(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": pa.array(np.concatenate([a, b])),
-            "a": pa.array(np.concatenate([a, a])),
-            "b": pa.array(np.concatenate([b, b])),
-        })
-
-    sides = cand.map_batches(explode_sides, batch_format="pyarrow")
-    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    # hash-partitioned join: only candidate docs' texts leave the corpus scan
-    joined = sides.join(docs, join_type="inner", num_partitions=n_parts,
-                        on=("doc_id",))
-
     # co-group the two sides of each pair under a BOUNDED shard count
     # (hash of the pair, not the pair itself — same rationale as N_SHARDS)
     PAIR_SHARDS = 64
 
-    def tag_pair_shard(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ps = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) & np.uint64(PAIR_SHARDS - 1)
-        return t.append_column("pshard", pa.array(ps.astype(np.int64)))
+    def _pshard(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        ps = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+              ^ b.astype(np.uint64)) & np.uint64(PAIR_SHARDS - 1)
+        return ps.astype(np.int64)
 
     def verify_pairs(g: pd.DataFrame) -> pd.DataFrame:
         keep = {"a": [], "b": [], "jaccard": []}
+        shingle_cache: dict = {}
+
+        def sh(doc_id, text):
+            if doc_id not in shingle_cache:
+                shingle_cache[doc_id] = shingle_hashes(text)
+            return shingle_cache[doc_id]
+
         # a pair colliding in several bands lands here several times — the
         # groupby unifies the duplicates so each pair is verified once
         for (x, y), sub in g.groupby(["a", "b"]):
             texts = dict(zip(sub["doc_id"], sub["text"]))
             if len(texts) < 2:
                 continue     # half-joined pair (missing doc) — cannot verify
-            sa, sb = shingle_hashes(texts[x]), shingle_hashes(texts[y])
+            sa, sb = sh(x, texts[x]), sh(y, texts[y])
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             jac = inter / union if union else 0.0
@@ -483,11 +501,100 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5):
                              "jaccard": pd.Series(keep["jaccard"],
                                                   dtype="float64")})
 
-    survivors = (joined.map_batches(tag_pair_shard, batch_format="pyarrow")
-                 .groupby("pshard").map_groups(verify_pairs,
-                                               batch_format="pandas")
-                 .to_pandas())
+    # collect the candidate PAIR list (the small side) with a size guard
+    pair_set: set = set()
+    over_cap = False
+    for bt in cand.iter_batches(batch_format="pyarrow"):
+        pair_set.update(zip(bt["a"].to_pylist(), bt["b"].to_pylist()))
+        if len(pair_set) > broadcast_cap:
+            over_cap = True
+            break
+
+    if over_cap:
+        survivors = _minhash_verify_join(docs, cand, _pshard, verify_pairs)
+    else:
+        survivors = _minhash_verify_broadcast(
+            docs, sorted(pair_set), a_params, threshold, _pshard,
+            verify_pairs)
     return survivors.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# banding at (16 bands × 4 rows) has a shallow S-curve: on a corpus whose
+# background Jaccard sits near 0.35 it admits many false-positive candidate
+# pairs. The broadcast verify therefore prefilters candidates by the exact
+# 64-perm signature estimate (std ≈ 0.0625 at j=0.5; the 0.15 margin keeps
+# the miss probability of a true-threshold pair under ~1%) before the exact
+# shingle verification — precision stays exact, and only the estimated
+# survivors' texts ever move.
+MINHASH_EST_MARGIN = 0.15
+
+
+def _minhash_verify_broadcast(docs, pairs, a_params, threshold,
+                              pshard_fn, verify_fn) -> pd.DataFrame:
+    """Fast path: the (already estimate-prefiltered, small) pair list lives
+    on the driver; one corpus pass attaches texts to the pairs each doc
+    participates in; a bounded pair-hash-shard co-group verifies exactly."""
+    import ray
+    pairs_a = np.fromiter((p[0] for p in pairs), dtype=np.int64,
+                          count=len(pairs))
+    pairs_b = np.fromiter((p[1] for p in pairs), dtype=np.int64,
+                          count=len(pairs))
+    doc_to_pairs: dict = {}
+    for idx in range(len(pairs_a)):
+        doc_to_pairs.setdefault(int(pairs_a[idx]), []).append(idx)
+        doc_to_pairs.setdefault(int(pairs_b[idx]), []).append(idx)
+    bref = ray.put((pairs_a, pairs_b, doc_to_pairs))
+
+    def attach(t: pa.Table) -> pa.Table:
+        pa_, pb_, d2p = ray.get(bref)
+        rows = {"a": [], "b": [], "doc_id": [], "text": []}
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            for idx in d2p.get(int(doc_id), ()):
+                rows["a"].append(int(pa_[idx]))
+                rows["b"].append(int(pb_[idx]))
+                rows["doc_id"].append(doc_id)
+                rows["text"].append(text)
+        ps = pshard_fn(np.asarray(rows["a"], dtype=np.int64),
+                       np.asarray(rows["b"], dtype=np.int64))
+        return pa.table({"pshard": pa.array(ps),
+                         "a": pa.array(rows["a"], pa.int64()),
+                         "b": pa.array(rows["b"], pa.int64()),
+                         "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                         "text": pa.array(rows["text"], pa.string())})
+
+    return (docs.map_batches(attach, batch_format="pyarrow")
+            .groupby("pshard").map_groups(verify_fn, batch_format="pandas")
+            .to_pandas())
+
+
+def _minhash_verify_join(docs, cand, pshard_fn, verify_fn) -> pd.DataFrame:
+    """Scale path for the verify step: explode pairs to one row per side,
+    hash-join the corpus on doc_id, co-group by pair shard."""
+    import ray
+
+    def explode_sides(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b])),
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+        })
+
+    sides = cand.map_batches(explode_sides, batch_format="pyarrow")
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = sides.join(docs, join_type="inner", num_partitions=n_parts,
+                        on=("doc_id",))
+
+    def tag(t: pa.Table) -> pa.Table:
+        ps = pshard_fn(t["a"].to_numpy(zero_copy_only=False),
+                       t["b"].to_numpy(zero_copy_only=False))
+        return t.append_column("pshard", pa.array(ps))
+
+    return (joined.map_batches(tag, batch_format="pyarrow")
+            .groupby("pshard").map_groups(verify_fn, batch_format="pandas")
+            .to_pandas())
 
 
 def simhash64(text: str) -> int:
@@ -956,6 +1063,18 @@ def _write_aux_table(t: pa.Table, name: str) -> None:
 Q_PAYLOAD_META_SQL = (f"SELECT url, width, height, glyph_scale, nbytes "
                       f"FROM read_parquet('{AUX_DIR}/payload_meta_expected.parquet')")
 
+_PAYLOAD_META_CACHE: dict = {}
+
+
+def _ensure_payload_meta_aux(sf_dir: str) -> None:
+    """Compute-once-per-session expected payload headers (two queries
+    publish the same table)."""
+    from ..fixtures.pages import expected_payload_meta
+    n = pages_rows_for(sf_dir)
+    if n not in _PAYLOAD_META_CACHE:
+        _PAYLOAD_META_CACHE[n] = expected_payload_meta(n)
+    _write_aux_table(_PAYLOAD_META_CACHE[n], "payload_meta_expected.parquet")
+
 
 def x_payload_meta(sf_dir: str):
     """Multimodal metadata probe: RAW2 headers of the raster payloads
@@ -966,11 +1085,9 @@ def x_payload_meta(sf_dir: str):
     walk + header parse must reproduce it."""
     import glob
     import ray.data
-    from ..fixtures.pages import expected_payload_meta
     from ..functions.dom import extract_dom
     from ..functions.raster import payload_meta
-    _write_aux_table(expected_payload_meta(pages_rows_for(sf_dir)),
-                     "payload_meta_expected.parquet")
+    _ensure_payload_meta_aux(sf_dir)
     d = _pages_dir_for(sf_dir)
     pages = ray.data.read_parquet(sorted(glob.glob(d + "/*.parquet")),
                                   columns=["url", "html"])
@@ -1128,13 +1245,11 @@ def q_prompt_tokens(sf_dir: str):
     import ray.data
 
     from ..config import TilingParams
-    from ..fixtures.pages import expected_payload_meta
     from ..functions.dom import extract_dom
     from ..functions.imageops import best_grid
     from ..functions.prompt import Vocab, build_prompt_tokens
     from ..functions.raster import payload_meta
-    _write_aux_table(expected_payload_meta(pages_rows_for(sf_dir)),
-                     "payload_meta_expected.parquet")
+    _ensure_payload_meta_aux(sf_dir)
     rendered, _, _, _ = _prompt_constants()
     params = TilingParams.ocr1()
     d = _pages_dir_for(sf_dir)

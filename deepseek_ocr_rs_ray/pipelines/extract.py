@@ -77,8 +77,11 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
     ds = read_pages(paths, columns=["url", "warc_ts", "html", "lang"])
     if size_cuts is None:
         size_cuts = compute_size_cuts(paths, cfg)
+    dom_kwargs = {}
+    if cfg.dom_num_cpus is not None:
+        dom_kwargs["num_cpus"] = cfg.dom_num_cpus
     ds = ds.map_batches(DomExtract(cfg, size_cuts), batch_format="pyarrow",
-                        batch_size=cfg.dom_batch_size)
+                        batch_size=cfg.dom_batch_size, **dom_kwargs)
     conc = ocr_concurrency if ocr_concurrency is not None else cfg.ocr_concurrency
     # pool sized to ~60% of the cluster: the read + sink task stages carry
     # real work (parquet decode, zstd encode) and starve behind a pool that
