@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_ivf": C.q_ann_ivf,
         # prompt/template/tokenizer family (M1/M11/J2 + T4/D1 grids)
         "q_prompt_tokens": C.q_prompt_tokens,
+        # multi-model preprocess variants (M8/M9/M10) as a dataset stage
+        "x_preprocess_variants": C.x_preprocess_variants,
         # extraction flagship + multimodal
         "x_extract_pages": C.x_extract_pages,
         "x_payload_meta": C.x_payload_meta,
@@ -112,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_cosine": C.Q_KNN_SQL,
         "q_embed_dup_pairs": C.Q_EMBED_DUP_SQL,
         "q_prompt_tokens": C._build_prompt_tokens_sql(),
+        "x_preprocess_variants": C._smart_resize_sql(),
         "x_extract_pages": C.Q_EXTRACT_PAGES_SQL,
         "x_payload_meta": C.Q_PAYLOAD_META_SQL,
         "x_extract_manifest": C.Q_EXTRACT_MANIFEST_SQL,

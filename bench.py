@@ -158,19 +158,31 @@ def scaling() -> None:
                    GRAFT_BENCH_ONLY_EXTRACT="1", GRAFT_BENCH_WARMRUN="1",
                    GRAFT_BENCH_TRIALS="3")
         # a larger corpus for the scaling criterion so per-job fixed costs
-        # (actor spawn, size-cut sampling, commit) amortize as they would at
-        # real scale; generated once and cached
-        env.setdefault("GRAFT_BENCH_PAGES", "60000")
+        # amortize as they would at real scale (measured ~5 s/job floor at
+        # 32 CPUs: ~3 s actor-pool spawn per Dataset execution + executor
+        # startup — the north rule's criterion is steady-state throughput
+        # of a long-running job, so the corpus must dwarf that floor);
+        # generated once and cached
+        env.setdefault("GRAFT_BENCH_PAGES", "480000")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
     lo, hi = results[n_lo]["extract"], results[n_hi]["extract"]
     eff = (lo["sec"] / hi["sec"]) / (n_hi / n_lo)
-    # hw envelope: best of 3 interleaved trials per level (same noise
-    # treatment as the pipeline measurement)
+    # hw envelopes: best of 3 trials per level (same noise treatment as the
+    # pipeline measurement). Two normalizers:
+    # - busy-loop: pure-Python integer loop (SMT-friendliest case);
+    # - kernel: the actual extract_row kernel under plain multiprocessing
+    #   (no Ray) — the achievable parallel throughput of THIS workload on
+    #   this host, the fair proxy for "4x more nodes = 4x more physical
+    #   cores". pipeline_eff / kernel_env_eff isolates what the RAY layer
+    #   loses, which is the number the multi-node criterion cares about.
     env_lo = max(_hw_envelope(n_lo) for _ in range(3))
     env_hi = max(_hw_envelope(n_hi) for _ in range(3))
     hw_eff = (env_hi / env_lo) / (n_hi / n_lo)
+    kenv_lo = max(_kernel_envelope(n_lo) for _ in range(3))
+    kenv_hi = max(_kernel_envelope(n_hi) for _ in range(3))
+    kernel_eff = (kenv_hi / kenv_lo) / (n_hi / n_lo)
     print(json.dumps({
         "metric": f"extraction docs/sec scaling, {n_lo} -> {n_hi} CPUs",
         f"docs_per_sec_{n_lo}": lo["docs_per_sec"],
@@ -179,6 +191,11 @@ def scaling() -> None:
         "scaling_efficiency": round(eff, 3),
         "hw_envelope_efficiency": round(hw_eff, 3),
         "scaling_efficiency_hw_normalized": round(min(eff / hw_eff, 1.0), 3),
+        f"kernel_pages_per_sec_{n_lo}": round(kenv_lo, 1),
+        f"kernel_pages_per_sec_{n_hi}": round(kenv_hi, 1),
+        "kernel_envelope_efficiency": round(kernel_eff, 3),
+        "scaling_efficiency_kernel_normalized":
+            round(min(eff / kernel_eff, 1.0), 3),
     }))
 
 
@@ -196,6 +213,31 @@ def _burn(seconds: float) -> int:
     while time.perf_counter() < end:
         x += 1
     return x
+
+
+def _kernel_envelope(n: int) -> float:
+    """Total pages/sec of n independent single-process extract_row loops
+    (plain multiprocessing, no Ray) — the host's achievable parallel
+    throughput for the actual extraction kernel mix (regex DOM + numpy OCR),
+    which degrades differently under SMT than a pure-Python busy loop."""
+    import multiprocessing as mp
+    with mp.Pool(n) as p:
+        return sum(p.map(_kernel_burn, [1.5] * n))
+
+
+def _kernel_burn(seconds: float) -> float:
+    from deepseek_ocr_rs_ray.fixtures.pages import gen_page, page_url
+    from deepseek_ocr_rs_ray.functions.extract_row import extract_row
+    rows = [(page_url(i), gen_page(i)["html"]) for i in range(40)]
+    for u, h in rows[:5]:       # warm numpy/regex paths
+        extract_row(u, h)
+    done = 0
+    end = time.perf_counter() + seconds
+    while time.perf_counter() < end:
+        u, h = rows[done % len(rows)]
+        extract_row(u, h)
+        done += 1
+    return done / seconds
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ from ..config import DecodeParameters, ExtractConfig, TilingParams, VisionSettin
 from . import raster
 from .dom import extract_dom
 from .imageops import best_grid, global_view_transform
-from .sampling import NgramBanState, select_token_id
+from .sampling import NgramBanState, init_rng, select_token_id
 from .textops import normalize_text
 
 
@@ -80,13 +80,20 @@ def ocr_decode_page(payload: bytes, vision: VisionSettings,
     flat_ink = ink.reshape(-1)
     remaining_after = np.concatenate([np.cumsum(flat_ink[::-1])[::-1][1:], [0]])
 
-    # Greedy fast path: with the default penalty (1.0 = no-op) and an empty
-    # n-gram ban set, select_token_id reduces to first-index argmax of the
-    # raw logits — precompute it vectorized for every cell and fall back to
-    # the full policy only on the (rare) steps where a ban is active.
+    # Greedy fast path: with sampling off, the default penalty (1.0 =
+    # no-op) and an empty n-gram ban set, select_token_id reduces to
+    # first-index argmax of the raw logits — precompute it vectorized for
+    # every cell and fall back to the full policy on the (rare) steps where
+    # a ban is active, or always when do_sample is on (T3: the sampled
+    # path must actually sample — crates/core/src/sampling.rs:34-102).
     # Equivalence is asserted by test_raster/test_sampling parity tests.
     penalty_noop = (decode.repetition_penalty <= 0.0 or
                     abs(decode.repetition_penalty - 1.0) <= np.finfo(np.float32).eps)
+    sampling = bool(decode.do_sample and decode.temperature > 0.0)
+    # one RNG per page, advanced through the token sequence (the reference
+    # seeds StdRng once per request) — per-row state, dropped on return
+    rng = init_rng(decode.seed) if sampling else None
+    fast_path = penalty_noop and not sampling
     masked = all_logits.copy()
     masked[:, :, raster.EOS_ID] = np.float32(-1000.0)
     fast_argmax = masked.reshape(rows * cols, -1).argmax(axis=1)
@@ -109,25 +116,27 @@ def ocr_decode_page(payload: bytes, vision: VisionSettings,
                 if remaining == 0:
                     # EOS logit 0.0 dominates every other (all <= -0.125)
                     tok = raster.EOS_ID
-                elif penalty_noop and not banned:
+                elif fast_path and not banned:
                     tok = int(fast_argmax[cell_index])
                 else:
                     logits = all_logits[r, c].copy()
                     logits[raster.EOS_ID] = np.float32(-1000.0)
-                    tok = select_token_id(logits, decode, tokens, banned=banned)
+                    tok = select_token_id(logits, decode, tokens, rng=rng,
+                                          banned=banned)
             else:
                 # line-break slot: newline unless the page is exhausted
                 remaining = remaining_after[cell_index - 1] if cell_index > 0 \
                     else flat_ink.sum()
                 if remaining == 0:
                     tok = raster.EOS_ID
-                elif penalty_noop and not banned:
+                elif fast_path and not banned:
                     tok = raster.NEWLINE_ID
                 else:
                     logits = np.full(len(raster.VOCAB), -np.inf, dtype=np.float32)
                     logits[raster.EOS_ID] = np.float32(0.0)
                     logits[raster.NEWLINE_ID] = np.float32(0.5)
-                    tok = select_token_id(logits, decode, tokens, banned=banned)
+                    tok = select_token_id(logits, decode, tokens, rng=rng,
+                                          banned=banned)
             step += 1
             if tok == raster.EOS_ID:
                 done = True

@@ -1294,6 +1294,120 @@ def q_prompt_tokens(sf_dir: str):
     return pages.map_batches(f, batch_format="pyarrow")
 
 
+# --- x_preprocess_variants: the Paddle/Dots preprocess (M8/M9/M10) as a
+# dataset stage. The oracle replicates smart_resize's arithmetic in SQL
+# (round-half-away to factor multiples, sqrt-beta area clamp — identical
+# IEEE doubles on both engines) over the generator's expected payload dims;
+# the pipeline additionally RUNS the real resize/patchify/position kernels
+# and asserts their shapes against the same numbers.
+
+PP_PATCH = 14
+PP_MERGE = 2
+PP_FACTOR = PP_PATCH * PP_MERGE          # 28
+PP_MIN_PIXELS = PP_FACTOR * PP_FACTOR * 4       # 3136
+PP_MAX_PIXELS = PP_FACTOR * PP_FACTOR * 1280    # ~1M
+
+
+def _smart_resize_sql() -> str:
+    f = PP_FACTOR
+    return rf"""
+WITH m AS (
+  SELECT url, CAST(height AS DOUBLE) AS h0, CAST(width AS DOUBLE) AS w0
+  FROM read_parquet('{AUX_DIR}/payload_meta_expected.parquet')
+), s1 AS (  -- if h < factor: w = round(w*f/h); h = f
+  SELECT url,
+         CASE WHEN h0 < {f} THEN FLOOR(w0 * {f} / h0 + 0.5) ELSE w0 END AS w1,
+         CASE WHEN h0 < {f} THEN {f} ELSE h0 END AS h1
+  FROM m
+), s2 AS (  -- if w < factor: h = round(h*f/w); w = f
+  SELECT url,
+         CASE WHEN w1 < {f} THEN FLOOR(h1 * {f} / w1 + 0.5) ELSE h1 END AS h,
+         CASE WHEN w1 < {f} THEN {f} ELSE w1 END AS w
+  FROM s1
+), s3 AS (
+  SELECT url, h, w,
+         FLOOR(h / {f} + 0.5) * {f} AS hb0,
+         FLOOR(w / {f} + 0.5) * {f} AS wb0
+  FROM s2
+), s4 AS (
+  SELECT url, h, w,
+         CASE WHEN hb0 * wb0 > {PP_MAX_PIXELS}
+              THEN FLOOR((h / SQRT(h * w / {PP_MAX_PIXELS})) / {f}) * {f}
+              WHEN hb0 * wb0 < {PP_MIN_PIXELS}
+              THEN CEIL((h * SQRT({PP_MIN_PIXELS} / (h * w))) / {f}) * {f}
+              ELSE hb0 END AS h_bar,
+         CASE WHEN hb0 * wb0 > {PP_MAX_PIXELS}
+              THEN FLOOR((w / SQRT(h * w / {PP_MAX_PIXELS})) / {f}) * {f}
+              WHEN hb0 * wb0 < {PP_MIN_PIXELS}
+              THEN CEIL((w * SQRT({PP_MIN_PIXELS} / (h * w))) / {f}) * {f}
+              ELSE wb0 END AS w_bar
+  FROM s3
+)
+SELECT url, CAST(h_bar AS BIGINT) AS h_bar, CAST(w_bar AS BIGINT) AS w_bar,
+       CAST(h_bar / {PP_PATCH} AS BIGINT) AS grid_h,
+       CAST(w_bar / {PP_PATCH} AS BIGINT) AS grid_w,
+       CAST((h_bar / {PP_PATCH}) * (w_bar / {PP_PATCH}) AS BIGINT) AS n_patches,
+       CAST((h_bar / {PP_FACTOR}) * (w_bar / {PP_FACTOR}) AS BIGINT) AS n_merged_blocks
+FROM s4
+"""
+
+
+def x_preprocess_variants(sf_dir: str):
+    """Multi-model preprocess variants (M8 smart_resize, M9 patchify in
+    both Paddle row-major and Dots merge-block layouts, M10 position ids)
+    run as a per-record dataset stage over the raster payloads
+    (crates/infer-paddleocr/src/vision/preprocess.rs:178-300)."""
+    import glob
+
+    import ray.data
+
+    from ..functions.imageops import (normalize_chw, patchify_merge_blocks,
+                                      patchify_row_major, position_metadata,
+                                      resize_bicubic, smart_resize)
+    _ensure_payload_meta_aux(sf_dir)
+    d = _pages_dir_for(sf_dir)
+    pages = ray.data.read_parquet(sorted(glob.glob(d + "/*.parquet")),
+                                  columns=["url", "html"])
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..functions.dom import extract_dom
+        from ..functions.raster import decode_payload
+        rows = {"url": [], "h_bar": [], "w_bar": [], "grid_h": [],
+                "grid_w": [], "n_patches": [], "n_merged_blocks": []}
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            res = extract_dom(html)
+            if res["payload"] is None:
+                continue
+            try:
+                img, _scale, _margin = decode_payload(res["payload"])
+            except ValueError:
+                continue
+            h, w = img.shape[:2]
+            h_bar, w_bar = smart_resize(h, w, PP_FACTOR,
+                                        PP_MIN_PIXELS, PP_MAX_PIXELS)
+            resized = resize_bicubic(img, w_bar, h_bar)
+            chw = normalize_chw(resized)
+            hwc = np.ascontiguousarray(chw.transpose(1, 2, 0))
+            p_row = patchify_row_major(hwc, PP_PATCH)
+            p_blk = patchify_merge_blocks(hwc, PP_PATCH, PP_MERGE)
+            gh, gw = h_bar // PP_PATCH, w_bar // PP_PATCH
+            pos, rr, cc = position_metadata((1, gh, gw))
+            assert p_row.shape == p_blk.shape == (gh * gw, 3 * PP_PATCH ** 2)
+            assert pos.shape[0] == gh * gw
+            rows["url"].append(url)
+            rows["h_bar"].append(h_bar)
+            rows["w_bar"].append(w_bar)
+            rows["grid_h"].append(gh)
+            rows["grid_w"].append(gw)
+            rows["n_patches"].append(gh * gw)
+            rows["n_merged_blocks"].append((gh // PP_MERGE) * (gw // PP_MERGE))
+        return pa.table({k: pa.array(v, pa.string() if k == "url"
+                                     else pa.int64())
+                         for k, v in rows.items()})
+
+    return pages.map_batches(f, batch_format="pyarrow")
+
+
 Q_EXTRACT_MANIFEST_SQL = (
     f"SELECT partition_id, size_class, row_count, ocr_rows, content_hash, "
     f"status FROM read_parquet('{AUX_DIR}/manifest_expected.parquet')")

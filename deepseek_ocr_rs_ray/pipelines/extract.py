@@ -73,8 +73,13 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
     from ..sources.pages import read_pages
     # read_pages validates the schema at entry; build it first so a
     # malformed input fails with a precise SchemaError before the size-cut
-    # sampling touches any data
-    ds = read_pages(paths, columns=["url", "warc_ts", "html", "lang"])
+    # sampling touches any data. Block count targets ~16 blocks/CPU so the
+    # heavy-tailed page costs balance across the pool without a skew tail.
+    total_cpus_hint = int(ray.cluster_resources().get("CPU", 4))
+    bpc = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "8"))
+    nb = max(64, bpc * total_cpus_hint) if bpc > 0 else None
+    ds = read_pages(paths, columns=["url", "warc_ts", "html", "lang"],
+                    num_blocks=nb)
     if size_cuts is None:
         size_cuts = compute_size_cuts(paths, cfg)
     dom_kwargs = {}
@@ -83,11 +88,13 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
     ds = ds.map_batches(DomExtract(cfg, size_cuts), batch_format="pyarrow",
                         batch_size=cfg.dom_batch_size, **dom_kwargs)
     conc = ocr_concurrency if ocr_concurrency is not None else cfg.ocr_concurrency
-    # pool sized to ~60% of the cluster: the read + sink task stages carry
-    # real work (parquet decode, zstd encode) and starve behind a pool that
-    # reserves every CPU (worst case: executor deadlock). Empirically on this
-    # host (16 physical cores / 32 SMT threads) 0.6*CPUs maximizes docs/sec
-    # across num_cpus in {4,8,16,32} — see BASELINE.md scaling table.
+    # Pool sizing: the map stage (DOM+OCR fused into the pool) carries the
+    # overwhelming share of the work, so the pool takes every slot except a
+    # small reserve for the read + sink task stages (parquet decode, zstd
+    # encode) — a pool holding EVERY CPU deadlocks the executor, and one
+    # starving the reserve serializes the sink tail. Reserve ≈12% of slots,
+    # clamped to [1, 4]: at 32 CPUs → 28 actors + 4 task slots (measured
+    # +~40% docs/s over the old 60% pool), at 8 → 7+1, at 4 → 3+1.
     import math
     total_cpus = int(ray.cluster_resources().get("CPU", 4))
     slots = total_cpus / max(cfg.ocr_num_cpus, 0.25)
@@ -99,9 +106,12 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
         ds = ds.map_batches(OcrDecode(cfg), batch_format="pyarrow",
                             batch_size=cfg.ocr_batch_size)
         return ds
-    # hard cap at slots-1: a pool holding every CPU deadlocks the executor
-    cap = max(1, min(math.ceil(slots * 0.6), int(slots) - 1))
+    reserve = min(4, max(1, math.ceil(slots * 0.12)))
+    cap = max(1, int(slots) - reserve)
     conc = cap if conc is None else max(1, min(conc, cap))
+    # fixed-size pool, NOT an autoscaling (1, conc) range: the autoscaler
+    # ramps far too slowly for a throughput job (measured 5.4k vs 9.4k
+    # docs/s at 32 CPUs on the same input)
     ds = ds.map_batches(OcrDecode, fn_constructor_args=(cfg,),
                         batch_format="pyarrow", batch_size=cfg.ocr_batch_size,
                         concurrency=conc, num_cpus=cfg.ocr_num_cpus)
@@ -249,10 +259,12 @@ def run_extract_job(input_paths: Sequence[str], out_dir: str,
         os.makedirs(tmp, exist_ok=True)
 
         ds = build_extract_dataset(wave_files, cfg, size_cuts)
-        # batch_size=4096 coalesces map-stage blocks so each size-class shard
-        # file lands ~1k+ rows instead of tens (no tiny-file explosion)
+        # batch_size=2048 coalesces map-stage blocks so each size-class shard
+        # file lands ~500+ rows (no tiny-file explosion) while keeping the
+        # sink wide enough that the zstd-encode tail doesn't serialize the
+        # end of each wave (4096 left only 5 sink tasks for a 20k wave)
         counters_ds = ds.map_batches(ShardSink(tmp), batch_format="pyarrow",
-                                     batch_size=4096)
+                                     batch_size=2048)
         counter_rows = counters_ds.take_all()   # tiny: one row per batch/class
         counters = _aggregate_counters(counter_rows)
         mf.commit_wave(out_dir, wave, [os.path.basename(f) for f in wave_files],

@@ -605,12 +605,14 @@ def q_events_sliding(sf_dir: str):
         # ws >= 0 mirrors the oracle's epoch guard for events inside the
         # first hour after the Unix epoch (ADVICE r01)
         keep = (rep_ts >= ws) & (rep_ts < ws + WINDOW_US) & (ws >= 0)
-        etype = np.repeat(np.asarray(t["event_type"].to_pylist(), dtype=object), k)
-        cents = np.repeat(cents_np(t["value"].to_numpy(zero_copy_only=False)), k)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), k)[keep]
+        # Arrow take keeps the string column off the Python heap
+        etype = pc.take(t["event_type"], pa.array(idx))
+        cents = cents_np(t["value"].to_numpy(zero_copy_only=False))[idx]
         tmp = pa.table({
-            "event_type": pa.array(etype[keep].tolist(), pa.string()),
+            "event_type": etype,
             "window_start": pa.array(ws[keep].view("datetime64[us]")),
-            "cents": pa.array(cents[keep]),
+            "cents": pa.array(cents),
             "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
         })
         return tmp.group_by(["event_type", "window_start"]).aggregate(

@@ -47,15 +47,23 @@ def validate_pages_schema(schema: pa.Schema, require_all: bool = True) -> None:
                 f"expected {_EXPECTED[name]}")
 
 
-def read_pages(paths: Sequence[str], columns: Optional[Sequence[str]] = None):
-    """Schema-validated ray.data source for the pages table."""
+def read_pages(paths: Sequence[str], columns: Optional[Sequence[str]] = None,
+               num_blocks: Optional[int] = None):
+    """Schema-validated ray.data source for the pages table.
+
+    ``num_blocks`` (override_num_blocks) controls map-task granularity
+    downstream: page costs are heavy-tailed (2 MB pages, dense OCR scans),
+    so the default ~200 blocks leaves a skew tail where a few actors finish
+    last with multi-second blocks; callers size it to ~16 blocks per CPU.
+    """
     import ray.data
     paths = sorted(paths)
     if not paths:
         raise SchemaError("no input files")
     validate_pages_schema(pq.read_schema(paths[0]))
     return ray.data.read_parquet(list(paths),
-                                 columns=list(columns) if columns else None)
+                                 columns=list(columns) if columns else None,
+                                 override_num_blocks=num_blocks)
 
 
 def decode_payload_column(batch: pa.Table, column: str = "payload",

@@ -113,6 +113,28 @@ def test_wave_size_does_not_change_bytes(ray_session, pages_dir, golden, tmp_pat
     assert_matches_golden(read_output(out).to_pandas(), golden)
 
 
+def test_sampled_decode_in_pipeline(ray_session, pages_dir, golden):
+    """T3 in-pipeline: seeded sampled decode (do_sample + temperature +
+    top_k) is deterministic at any parallelism, byte-identical to the
+    single-process oracle, and actually differs from the greedy output."""
+    from deepseek_ocr_rs_ray.config import DecodeParameters, ExtractConfig
+    from deepseek_ocr_rs_ray.fixtures.pages import pages_table
+    cfg = ExtractConfig(decode=DecodeParameters(
+        do_sample=True, temperature=3.0, top_k=8, seed=7))
+    files = sorted(glob.glob(pages_dir + "/*.parquet"))
+    df = (build_extract_dataset(files, cfg).to_pandas()
+          .sort_values("url").reset_index(drop=True))
+    g = (oracle_extract_pages(pages_table(N_ROWS), cfg)
+         .to_pandas().sort_values("url").reset_index(drop=True))
+    assert (df["url"].values == g["url"].values).all()
+    assert (df["extracted_text"].values == g["extracted_text"].values).all()
+    # sampling must change at least one OCR row vs the greedy golden
+    greedy = golden.sort_values("url").reset_index(drop=True)
+    ocr = (df["method"] == "ocr").values
+    assert (df.loc[ocr, "extracted_text"].values
+            != greedy.loc[ocr, "extracted_text"].values).any()
+
+
 def test_metrics_written(ray_session, pages_dir, tmp_path):
     out = str(tmp_path / "out3")
     files = sorted(glob.glob(pages_dir + "/*.parquet"))
