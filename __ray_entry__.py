@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_exact": C.q_dedup_exact,
         "q_jaccard_vs_doc0": C.q_jaccard_vs_doc0,
         "q_jaccard_pairs": C.q_jaccard_pairs,
+        "q_jaccard_bigram_pairs": C.q_jaccard_bigram_pairs,
         "q_minhash_pairs": C.q_minhash_pairs,
         "q_simhash": C.q_simhash,
         # similarity search
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": C.Q_DEDUP_EXACT_SQL,
         "q_jaccard_vs_doc0": C.Q_JACCARD_SQL,
         "q_jaccard_pairs": C.Q_JACCARD_PAIRS_SQL,
+        "q_jaccard_bigram_pairs": C.Q_JACCARD_BIGRAM_SQL,
         "q_knn_cosine": C.Q_KNN_SQL,
         "q_embed_dup_pairs": C.Q_EMBED_DUP_SQL,
         "q_prompt_tokens": C._build_prompt_tokens_sql(),

@@ -334,6 +334,64 @@ WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
 """
 
 
+def q_jaccard_bigram_pairs(sf_dir: str, threshold: float = 0.25):
+    """Near-dup pairs by word-BIGRAM-set Jaccard within each ``source``
+    bucket (the n>1 n-gram variant of q_jaccard_pairs; n-grams are far more
+    discriminative than unigrams, so the threshold sits lower)."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def bigrams(s: str) -> frozenset:
+        toks = [x.lower() for x in T.ascii_tokens(s)]
+        if len(toks) < 2:
+            return frozenset({" ".join(toks)}) if toks else frozenset()
+        return frozenset(f"{toks[i]} {toks[i + 1]}"
+                         for i in range(len(toks) - 1))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sets = [bigrams(t) for t in g["text"]]
+        rows = {"a": [], "b": [], "jaccard": []}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i]) + len(sets[j]) - inter
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    rows["a"].append(int(ids[i]))
+                    rows["b"].append(int(ids[j]))
+                    rows["jaccard"].append(float(np.floor(jac * 1e6 + 0.5) / 1e6))
+        return pd.DataFrame({"a": pd.Series(rows["a"], dtype="int64"),
+                             "b": pd.Series(rows["b"], dtype="int64"),
+                             "jaccard": pd.Series(rows["jaccard"],
+                                                  dtype="float64")})
+
+    return docs.groupby("source").map_groups(pairs, batch_format="pandas")
+
+
+Q_JACCARD_BIGRAM_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, {_SQL_LOWER_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) = 1 THEN [toks[1]]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1])) END AS w
+  FROM t
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  FLOOR(
+    CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+    / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
+    * 1000000 + 0.5) / 1000000 AS jaccard
+FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.25
+"""
+
+
 # --- MinHash-LSH near-dup (rows-only; verified in pytest vs brute force) ----
 
 MINHASH_PERMS = 64
