@@ -60,9 +60,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jaccard_bigram_pairs": C.q_jaccard_bigram_pairs,
         "q_minhash_pairs": C.q_minhash_pairs,
         "q_simhash": C.q_simhash,
+        # corpus stats / sampling
+        "q_top_tokens": C.q_top_tokens,
+        "q_sample_stratified": C.q_sample_stratified,
         # similarity search
         "q_knn_cosine": C.q_knn_cosine,
         "q_embed_dup_pairs": C.q_embed_dup_pairs,
+        "q_dup_clusters": C.q_dup_clusters,
         "q_ann_lsh": C.q_ann_lsh,
         "q_ann_ivf": C.q_ann_ivf,
         # prompt/template/tokenizer family (M1/M11/J2 + T4/D1 grids)
@@ -115,6 +119,9 @@ def oracle_sql() -> dict[str, str]:
         "q_jaccard_bigram_pairs": C.Q_JACCARD_BIGRAM_SQL,
         "q_knn_cosine": C.Q_KNN_SQL,
         "q_embed_dup_pairs": C.Q_EMBED_DUP_SQL,
+        "q_dup_clusters": C._dup_clusters_sql(),
+        "q_top_tokens": C.Q_TOP_TOKENS_SQL,
+        "q_sample_stratified": C.Q_STRATIFIED_SQL,
         "q_prompt_tokens": C._build_prompt_tokens_sql(),
         "x_preprocess_variants": C._smart_resize_sql(),
         "x_extract_pages": C.Q_EXTRACT_PAGES_SQL,

@@ -334,7 +334,144 @@ WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
 """
 
 
-def q_jaccard_bigram_pairs(sf_dir: str, threshold: float = 0.25):
+TOKEN_SHARDS = 64
+TOP_TOKENS_K = 50
+
+
+def q_top_tokens(sf_dir: str, k: int = TOP_TOKENS_K):
+    """Corpus heavy hitters: top-k lowercased tokens by total occurrence
+    count (ties → token ascending). The wordcount-at-scale shape: per-batch
+    Counter pre-agg → token-hash-shard groupby (bounded group count, never
+    one group per distinct token) → per-shard vectorized sum + local top-k
+    → tiny driver reduce of <= k*shards rows."""
+    from collections import Counter
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(x.lower() for x in T.ascii_tokens(s))
+        toks = list(c.keys())
+        shard = [T.crc32_str(x) & (TOKEN_SHARDS - 1) for x in toks]
+        return pa.table({"shard": pa.array(shard, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "n": pa.array([c[x] for x in toks], pa.int64())})
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token")["n"].sum().reset_index(name="n_occurrences")
+        return s.sort_values(["n_occurrences", "token"],
+                             ascending=[False, True]).head(k)
+
+    df = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("shard").map_groups(shard_topk, batch_format="pandas")
+            .to_pandas())
+    return (df.sort_values(["n_occurrences", "token"],
+                           ascending=[False, True])
+              .head(k).reset_index(drop=True))
+
+
+Q_TOP_TOKENS_SQL = rf"""
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest({_SQL_LOWER_TOKS}) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {TOP_TOKENS_K}
+"""
+
+STRATIFIED_K = 10
+
+
+def q_sample_stratified(sf_dir: str, k: int = STRATIFIED_K):
+    """Deterministic stratified sample: the k docs per ``lang`` ranked by
+    (md5(text), doc_id) — reproducible independent of partitioning/retries
+    (the seeded-sampling contract, per group). Per-batch local top-k per
+    lang collapses the stream before the tiny per-group reduce."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        md5s = [T.md5_hex(s) for s in t.column("text").to_pylist()]
+        g = pd.DataFrame({"lang": t["lang"].to_pylist(),
+                          "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                          "text_md5": md5s})
+        g = g.sort_values(["lang", "text_md5", "doc_id"])
+        return pa.Table.from_pandas(g.groupby("lang").head(k),
+                                    preserve_index=False)
+
+    df = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["lang", "text_md5", "doc_id"])
+    df["rank"] = df.groupby("lang").cumcount() + 1
+    out = df[df["rank"] <= k].reset_index(drop=True)
+    out["rank"] = out["rank"].astype("int64")
+    return out[["lang", "rank", "doc_id", "text_md5"]]
+
+
+Q_STRATIFIED_SQL = f"""
+SELECT lang, rank, doc_id, text_md5 FROM (
+  SELECT lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY md5(text), doc_id) AS BIGINT) AS rank,
+         doc_id, md5(text) AS text_md5
+  FROM documents
+) WHERE rank <= {STRATIFIED_K}
+"""
+
+
+def q_dup_clusters(sf_dir: str, threshold: float = 0.4):
+    """Near-dup clusters: connected components over the embedding-cosine
+    dup-pair graph, labeled by min vec_id; returns every non-singleton
+    member with its canonical id.
+
+    The pair set is the SMALL side (output of the bucketed pair mining) —
+    union-find runs on the driver over collected pairs (same broadcast
+    budget as the joins); membership labeling is a map over the pair rows.
+    The SQL oracle reaches the same fixpoint via a recursive CTE
+    propagating min labels along edges."""
+    res = q_embed_dup_pairs(sf_dir, threshold)
+    pairs = res.to_pandas() if hasattr(res, "to_pandas") else res
+
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        parent.setdefault(int(a), int(a))
+        parent.setdefault(int(b), int(b))
+        union(int(a), int(b))
+    members = sorted(parent)
+    return pd.DataFrame({
+        "vec_id": pd.Series(members, dtype="int64"),
+        "cluster_id": pd.Series([find(m) for m in members], dtype="int64"),
+    })
+
+
+def _dup_clusters_sql() -> str:
+    # built lazily: Q_EMBED_DUP_SQL is defined further down the module
+    return f"""
+WITH RECURSIVE dup AS (
+  SELECT a, b FROM ({Q_EMBED_DUP_SQL}) p
+), edges AS (
+  SELECT a, b FROM dup UNION SELECT b AS a, a AS b FROM dup
+), reach AS (
+  SELECT a AS v, b AS u FROM edges
+  UNION
+  SELECT r.v, e.b AS u FROM reach r JOIN edges e ON e.a = r.u
+)
+SELECT v AS vec_id, CAST(LEAST(v, MIN(u)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v
+"""
+
+
+def q_jaccard_bigram_pairs(sf_dir: str, threshold: float = 0.25):  # noqa: E303
     """Near-dup pairs by word-BIGRAM-set Jaccard within each ``source``
     bucket (the n>1 n-gram variant of q_jaccard_pairs; n-grams are far more
     discriminative than unigrams, so the threshold sits lower)."""
