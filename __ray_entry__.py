@@ -128,6 +128,9 @@ def oracle_sql() -> dict[str, str]:
         "x_payload_meta": C.Q_PAYLOAD_META_SQL,
         "x_extract_manifest": C.Q_EXTRACT_MANIFEST_SQL,
         "x_corpus_pipeline": C.Q_CORPUS_PIPELINE_SQL,
+        "x_image_thumbnails": C.Q_THUMBNAILS_SQL,
+        "x_image_features": C.Q_FEATURES_SQL,
+        "x_frame_samples": C.Q_FRAMES_SQL,
         # rows-only: q_minhash_pairs (banding pytest-verified vs brute
         # force), x_extract_stage_totals (wall-clock timings), and the
         # image/frame stages (binary+list columns; pytest byte gates)

@@ -157,7 +157,8 @@ def gen_page(i: int, seed: int = SEED, max_bytes: int = 2 << 20) -> dict:
         # must parse the same values back out of the binary column)
         payload_meta = {"url": url, "width": int(img.shape[1]),
                         "height": int(img.shape[0]),
-                        "glyph_scale": glyph_scale, "nbytes": len(payload)}
+                        "glyph_scale": glyph_scale, "nbytes": len(payload),
+                        "payload": payload}
     else:
         # byte-length target from a seeded log-normal, clamped ~1 KB–2 MB
         target = int(np.clip(rng.lognormal(8.3, 1.1), 1024, max_bytes))
@@ -197,19 +198,9 @@ def gen_page(i: int, seed: int = SEED, max_bytes: int = 2 << 20) -> dict:
     }
 
 
-def expected_payload_meta(n_rows: int, seed: int = SEED) -> pa.Table:
-    """Generation-side expected (url, width, height, glyph_scale, nbytes)
-    for every OCR-routed row in [0, n_rows) — independent of the pipeline's
-    DOM walk and header parser, which must reproduce these values."""
-    metas = [gen_page(i, seed)["payload_meta"]
-             for i in range(n_rows) if is_ocr_row(page_url(i))]
-    return pa.table({
-        "url": pa.array([m["url"] for m in metas], pa.string()),
-        "width": pa.array([m["width"] for m in metas], pa.int64()),
-        "height": pa.array([m["height"] for m in metas], pa.int64()),
-        "glyph_scale": pa.array([m["glyph_scale"] for m in metas], pa.int64()),
-        "nbytes": pa.array([m["nbytes"] for m in metas], pa.int64()),
-    })
+# generation-side expected payload headers are assembled (and cached per
+# session) by pipelines/corpus.py::_ocr_payload_metas from the
+# ``payload_meta`` entries gen_page returns
 
 
 def pages_table(n_rows: int, seed: int = SEED, start: int = 0) -> pa.Table:

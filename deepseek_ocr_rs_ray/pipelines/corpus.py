@@ -1258,17 +1258,29 @@ def _write_aux_table(t: pa.Table, name: str) -> None:
 Q_PAYLOAD_META_SQL = (f"SELECT url, width, height, glyph_scale, nbytes "
                       f"FROM read_parquet('{AUX_DIR}/payload_meta_expected.parquet')")
 
-_PAYLOAD_META_CACHE: dict = {}
+_PAYLOADS_CACHE: dict = {}
+
+
+def _ocr_payload_metas(sf_dir: str) -> list:
+    """Generator-side payload metadata+bytes for every OCR-routed fixture
+    row, computed once per session (four expected-table builders share it)."""
+    from ..fixtures.pages import gen_page, is_ocr_row, page_url
+    n = pages_rows_for(sf_dir)
+    if n not in _PAYLOADS_CACHE:
+        _PAYLOADS_CACHE[n] = [gen_page(i)["payload_meta"]
+                              for i in range(n) if is_ocr_row(page_url(i))]
+    return _PAYLOADS_CACHE[n]
 
 
 def _ensure_payload_meta_aux(sf_dir: str) -> None:
-    """Compute-once-per-session expected payload headers (two queries
-    publish the same table)."""
-    from ..fixtures.pages import expected_payload_meta
-    n = pages_rows_for(sf_dir)
-    if n not in _PAYLOAD_META_CACHE:
-        _PAYLOAD_META_CACHE[n] = expected_payload_meta(n)
-    _write_aux_table(_PAYLOAD_META_CACHE[n], "payload_meta_expected.parquet")
+    metas = _ocr_payload_metas(sf_dir)
+    _write_aux_table(pa.table({
+        "url": pa.array([m["url"] for m in metas], pa.string()),
+        "width": pa.array([m["width"] for m in metas], pa.int64()),
+        "height": pa.array([m["height"] for m in metas], pa.int64()),
+        "glyph_scale": pa.array([m["glyph_scale"] for m in metas], pa.int64()),
+        "nbytes": pa.array([m["nbytes"] for m in metas], pa.int64()),
+    }), "payload_meta_expected.parquet")
 
 
 def x_payload_meta(sf_dir: str):
@@ -1333,30 +1345,167 @@ def _payload_dataset(sf_dir: str):
     return pages.map_batches(f, batch_format="pyarrow")
 
 
+# the thumb BYTES are compared via md5 hex (byte equality): DuckDB's
+# fetchdf materializes raw BLOB columns as unhashable bytearrays, which no
+# value-hash gate can handle — so the expected table stores the fingerprint
+Q_THUMBNAILS_SQL = (f"SELECT url, thumb_md5, thumb_bytes, "
+                    f"orig_width, orig_height "
+                    f"FROM read_parquet('{AUX_DIR}/thumbs_expected.parquet')")
+
+
+_THUMBS_CACHE: dict = {}
+
+
+def _write_expected_thumbnails(sf_dir: str) -> None:
+    """Single-process expected thumbnails straight from the GENERATOR's
+    payload bytes (no DOM walk): decode → bicubic 64px → re-encode. The
+    bicubic kernel's independence is covered by the naive-port parity
+    pytest; this table pins the distributed stage's end-to-end bytes."""
+    import hashlib as _hl
+
+    from ..functions.imageops import resize_bicubic
+    from ..functions.raster import decode_payload, encode_payload
+    n = pages_rows_for(sf_dir)
+    if n in _THUMBS_CACHE:
+        _write_aux_table(_THUMBS_CACHE[n], "thumbs_expected.parquet")
+        return
+    rows = {"url": [], "thumb_md5": [], "thumb_bytes": [],
+            "orig_width": [], "orig_height": []}
+    for meta in _ocr_payload_metas(sf_dir):
+        img, scale, margin = decode_payload(meta["payload"])
+        small = resize_bicubic(img, 64, 64)
+        thumb = encode_payload(small, scale, margin)
+        rows["url"].append(meta["url"])
+        rows["thumb_md5"].append(_hl.md5(thumb).hexdigest())
+        rows["thumb_bytes"].append(len(thumb))
+        rows["orig_width"].append(img.shape[1])
+        rows["orig_height"].append(img.shape[0])
+    t = pa.table({
+        "url": pa.array(rows["url"], pa.string()),
+        "thumb_md5": pa.array(rows["thumb_md5"], pa.string()),
+        "thumb_bytes": pa.array(rows["thumb_bytes"], pa.int64()),
+        "orig_width": pa.array(rows["orig_width"], pa.int64()),
+        "orig_height": pa.array(rows["orig_height"], pa.int64()),
+    })
+    _THUMBS_CACHE[n] = t
+    _write_aux_table(t, "thumbs_expected.parquet")
+
+
 def x_image_thumbnails(sf_dir: str):
     """Multimodal resize stage: RAW2 decode → 64px bicubic thumb → re-encode
-    (actor pool; rows-only)."""
+    (actor pool; binary in/out). SQL-oracled against the generator-side
+    expected thumbs with the bytes fingerprinted as md5 hex (byte equality;
+    raw BLOBs come out of DuckDB as unhashable bytearrays)."""
+    import hashlib
+
     from ..stages.multimodal import ImageResizeStage
+    _write_expected_thumbnails(sf_dir)
     ds = _payload_dataset(sf_dir)
-    return ds.map_batches(ImageResizeStage, fn_constructor_kwargs={"thumb": 64},
-                          batch_format="pyarrow", batch_size=16, concurrency=2)
+    thumbs = ds.map_batches(ImageResizeStage,
+                            fn_constructor_kwargs={"thumb": 64},
+                            batch_format="pyarrow", batch_size=16,
+                            concurrency=2)
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        blobs = t["thumb"].to_pylist()
+        return pa.table({
+            "url": t["url"],
+            "thumb_md5": pa.array([hashlib.md5(b).hexdigest()
+                                   for b in blobs], pa.string()),
+            "thumb_bytes": pa.array([len(b) for b in blobs], pa.int64()),
+            "orig_width": t["orig_width"],
+            "orig_height": t["orig_height"],
+        })
+
+    return thumbs.map_batches(fingerprint, batch_format="pyarrow")
+
+
+def _feat_md5(vec) -> str:
+    import hashlib as _hl
+    return _hl.md5(np.asarray(vec, dtype=np.float32).tobytes()).hexdigest()
+
+
+def _fingerprint_features(t: pa.Table) -> pa.Table:
+    vecs = t["features"].to_pylist()
+    cols = {"url": t["url"]}
+    if "frame_index" in t.column_names:
+        cols["frame_index"] = t["frame_index"]
+    cols["n_dims"] = pa.array([len(v) for v in vecs], pa.int64())
+    cols["features_md5"] = pa.array([_feat_md5(v) for v in vecs], pa.string())
+    return pa.table(cols)
+
+
+Q_FEATURES_SQL = (f"SELECT url, n_dims, features_md5 "
+                  f"FROM read_parquet('{AUX_DIR}/features_expected.parquet')")
+Q_FRAMES_SQL = (f"SELECT url, frame_index, n_dims, features_md5 "
+                f"FROM read_parquet('{AUX_DIR}/frames_expected.parquet')")
+
+_FEATURES_CACHE: dict = {}
+
+
+def _expected_features_frames(sf_dir: str):
+    """Generator-side expected features/frames: decode the generator's own
+    payload bytes, run the (pytest-covered) feature kernels single-process,
+    fingerprint the float32 vectors (vector equality; list columns are not
+    value-hashable through fetchdf)."""
+    from ..functions.raster import decode_payload
+    from ..stages.multimodal import image_features
+    n = pages_rows_for(sf_dir)
+    if n in _FEATURES_CACHE:
+        return _FEATURES_CACHE[n]
+    feat = {"url": [], "n_dims": [], "features_md5": []}
+    frames = {"url": [], "frame_index": [], "n_dims": [], "features_md5": []}
+    for meta in _ocr_payload_metas(sf_dir):
+        img, _s, _m = decode_payload(meta["payload"])
+        v = image_features(img)
+        feat["url"].append(meta["url"])
+        feat["n_dims"].append(len(v))
+        feat["features_md5"].append(_feat_md5(v))
+        n_frames = max(img.shape[0] // 64, 1)
+        for tdx in range(0, n_frames, 2):
+            frame = img[tdx * 64:(tdx + 1) * 64]
+            if frame.size == 0:
+                continue
+            fv = image_features(frame)
+            frames["url"].append(meta["url"])
+            frames["frame_index"].append(tdx)
+            frames["n_dims"].append(len(fv))
+            frames["features_md5"].append(_feat_md5(fv))
+    ft = pa.table({"url": pa.array(feat["url"], pa.string()),
+                   "n_dims": pa.array(feat["n_dims"], pa.int64()),
+                   "features_md5": pa.array(feat["features_md5"], pa.string())})
+    rt = pa.table({"url": pa.array(frames["url"], pa.string()),
+                   "frame_index": pa.array(frames["frame_index"], pa.int64()),
+                   "n_dims": pa.array(frames["n_dims"], pa.int64()),
+                   "features_md5": pa.array(frames["features_md5"], pa.string())})
+    _FEATURES_CACHE[n] = (ft, rt)
+    return ft, rt
 
 
 def x_image_features(sf_dir: str):
-    """Multimodal feature-extract stage: payload → list<float> embedding."""
+    """Multimodal feature-extract stage: payload → list<float> embedding
+    (SQL-oracled via float32-byte fingerprints vs the generator-side
+    expected vectors)."""
     from ..stages.multimodal import ImageFeatureStage
+    ft, _ = _expected_features_frames(sf_dir)
+    _write_aux_table(ft, "features_expected.parquet")
     ds = _payload_dataset(sf_dir)
-    return ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
-                          batch_size=32, concurrency=2)
+    feats = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
+                           batch_size=32, concurrency=2)
+    return feats.map_batches(_fingerprint_features, batch_format="pyarrow")
 
 
 def x_frame_samples(sf_dir: str):
-    """Multimodal frame-sample stage (deterministic raw2 clip fake)."""
+    """Multimodal frame-sample stage (deterministic raw2 clip fake;
+    SQL-oracled via per-frame feature fingerprints)."""
     from ..stages.multimodal import FrameSampleStage
+    _, rt = _expected_features_frames(sf_dir)
+    _write_aux_table(rt, "frames_expected.parquet")
     ds = _payload_dataset(sf_dir)
-    return ds.map_batches(FrameSampleStage, batch_format="pyarrow",
-                          fn_constructor_kwargs={"frame_h": 64, "stride": 2},
-                          batch_size=32, concurrency=2)
+    frames = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                            fn_constructor_kwargs={"frame_h": 64, "stride": 2},
+                            batch_size=32, concurrency=2)
+    return frames.map_batches(_fingerprint_features, batch_format="pyarrow")
 
 
 # --- q_prompt_tokens: M1 (template render) + M11 (placeholder expansion) ---

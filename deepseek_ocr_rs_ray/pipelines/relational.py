@@ -884,15 +884,19 @@ def q_asof_last_order(sf_dir: str):
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     # deterministic representative per (custkey, orderdate): max orderkey —
-    # an ASOF join against tied timestamps is otherwise nondeterministic
+    # an ASOF join against tied timestamps is otherwise nondeterministic.
+    # The per-batch pre-dedup runs here; the GLOBAL dedup happens inside the
+    # same hash-bucket co-group as the asof itself (a Ray groupby on the raw
+    # (custkey, orderdate) key would be one group per distinct pair — the
+    # high-cardinality shuffle CLAUDE.md forbids — and a second shuffle).
     def dedup_orders(t: pa.Table) -> pa.Table:
-        return t.group_by(["o_custkey", "o_orderdate"]).aggregate(
+        agg = t.group_by(["o_custkey", "o_orderdate"]).aggregate(
             [("o_orderkey", "max")])
+        return pa.table({"o_custkey": agg["o_custkey"],
+                         "o_orderdate": agg["o_orderdate"],
+                         "o_orderkey": agg["o_orderkey_max"]})
 
-    from ray.data.aggregate import Max
-    o = (orders.map_batches(dedup_orders, batch_format="pyarrow")
-               .groupby(["o_custkey", "o_orderdate"])
-               .aggregate(Max("o_orderkey_max", alias_name="o_orderkey")))
+    o = orders.map_batches(dedup_orders, batch_format="pyarrow")
 
     # co-group both sides by a HASHED user bucket (not per-user groups: at
     # N keys that is N python calls through map_groups; ~64 buckets keep the
@@ -919,7 +923,11 @@ def q_asof_last_order(sf_dir: str):
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
         ev = g[g["side"] == "e"].sort_values(["ts", "event_id"])
-        od = g[g["side"] == "o"].sort_values("ts")
+        # finish the cross-batch dedup here (max orderkey per (k, ts)):
+        # duplicate timestamps would make merge_asof's pick order-dependent
+        od = (g.loc[g["side"] == "o", ["ts", "k", "o_orderkey"]]
+               .groupby(["k", "ts"], as_index=False)["o_orderkey"].max()
+               .sort_values("ts"))
         if len(ev) == 0:
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "user_id": pd.Series([], dtype="int64"),
