@@ -487,15 +487,33 @@ SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 
 def q_union_distinct(sf_dir: str):
-    a = read_table(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-    a = a.map_batches(lambda t: t.filter(pc.equal(t["o_orderstatus"], "F"))
-                      .select(["o_orderkey"]), batch_format="pyarrow")
-    b = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    b = b.map_batches(lambda t: t.filter(pc.greater(t["o_totalprice"],
-                                                    pa.scalar(200000.0)))
-                      .select(["o_orderkey"]), batch_format="pyarrow")
-    n = a.union(b).unique("o_orderkey")
-    return single_row({"n_orders": int(len(n))})
+    """UNION-distinct count via per-batch unique → hash-shard groupby →
+    per-shard nunique → tiny sum (Ray's ``unique`` would be one group per
+    distinct key — the high-cardinality shuffle the repo rule forbids)."""
+    N_SHARDS = 64
+
+    def side(col_filter):
+        def f(t: pa.Table) -> pa.Table:
+            t = col_filter(t)
+            u = np.unique(t["o_orderkey"].to_numpy(zero_copy_only=False))
+            return pa.table({"o_orderkey": pa.array(u),
+                             "shard": pa.array(u & (N_SHARDS - 1))})
+        return f
+
+    a = read_table(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]) \
+        .map_batches(side(lambda t: t.filter(
+            pc.equal(t["o_orderstatus"], "F"))), batch_format="pyarrow")
+    b = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(side(lambda t: t.filter(
+            pc.greater(t["o_totalprice"], pa.scalar(200000.0)))),
+            batch_format="pyarrow")
+
+    def shard_nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [np.int64(g["o_orderkey"].nunique())]})
+
+    parts = (a.union(b).groupby("shard")
+             .map_groups(shard_nunique, batch_format="pandas").to_pandas())
+    return single_row({"n_orders": int(parts["n"].sum())})
 
 
 Q_UNION_SQL = """
@@ -669,17 +687,31 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization, hash-bucket co-grouped (64 buckets, never
+    one group per user) with a vectorized per-bucket pandas pass."""
+    N_BUCKETS = 64
     ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds() * 1e6
-        starts = (gaps.isna() | (gaps > SESSION_GAP_US)).sum()
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(starts)],
-                             "n_events": [len(g)]})
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["user_id"], pa.int64())
+        return pa.table({"bucket": pc.bit_wise_and(k, N_BUCKETS - 1),
+                         "user_id": k, "event_id": t["event_id"],
+                         "ts": t["ts"]})
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds() * 1e6
+        g["is_start"] = (gaps.isna() | (gaps > SESSION_GAP_US)).astype(np.int64)
+        out = (g.groupby("user_id")
+                .agg(n_sessions=("is_start", "sum"),
+                     n_events=("is_start", "size")).reset_index())
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "n_sessions", "n_events"]]
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("bucket").map_groups(sessionize,
+                                            batch_format="pandas"))
 
 
 Q_SESSIONIZE_SQL = f"""
