@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_join_agg": R.q_hash_join_agg,
         "q_filter_project": R.q_filter_project,
         "q_topk_orders": R.q_topk_orders,
+        "q_orders_global_sort": R.q_orders_global_sort,
         "q_segment_counts": R.q_segment_counts,
         "q_union_distinct": R.q_union_distinct,
         "q_orders_by_month": R.q_orders_by_month,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hash_join_agg": R.Q_HASH_JOIN_SQL,
         "q_filter_project": R.Q_FILTER_PROJECT_SQL,
         "q_topk_orders": R.Q_TOPK_SQL,
+        "q_orders_global_sort": R.Q_GLOBAL_SORT_SQL,
         "q_segment_counts": R.Q_SEGMENT_SQL,
         "q_union_distinct": R.Q_UNION_SQL,
         "q_orders_by_month": R.Q_MONTH_SQL,

@@ -466,6 +466,31 @@ LIMIT 10
 """
 
 
+def q_orders_global_sort(sf_dir: str):
+    """Global ``Dataset.sort`` (range-partitioned all-to-all) + limit —
+    the wide sort operator exercised end-to-end. For small k the
+    local-then-global top-k (q_topk_orders) is the preferred plan; this
+    entry demonstrates (and gates) the full sort path itself, with a
+    deterministic (total_cents DESC, o_orderkey ASC) key."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "total_cents": cents_arr(t["o_totalprice"])})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+              .sort(["total_cents", "o_orderkey"], descending=[True, False])
+              .limit(100))
+
+
+Q_GLOBAL_SORT_SQL = """
+SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+FROM orders
+ORDER BY total_cents DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # distinct / grouped count (D-family)
 # ---------------------------------------------------------------------------
