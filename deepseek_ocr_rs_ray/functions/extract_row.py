@@ -32,30 +32,49 @@ from .sampling import NgramBanState, init_rng, select_token_id
 from .textops import normalize_text
 
 
+def page_tile_grid(w: int, h: int, vision: VisionSettings,
+                   tiling: TilingParams) -> Tuple[Tuple[int, int], int]:
+    """(grid, n_tiles) from page dims (header-only; no decompression)."""
+    if vision.crop_mode:
+        thr = tiling.small_image_no_crop_threshold
+        if not (thr is not None and w <= thr and h <= thr):
+            grid = best_grid(w, h, tiling)
+            return grid, grid[0] * grid[1]
+    return (1, 1), 0
+
+
 def ocr_decode_page(payload: bytes, vision: VisionSettings,
                     tiling: TilingParams, decode: DecodeParameters
                     ) -> Tuple[str, int, int]:
     """Decode a raster payload to text. Returns (text, n_tiles, n_tokens).
 
     Per-row state (the emitted token context feeding the repetition penalty
-    and n-gram ban) is created fresh here and dropped on return — the
-    KV-cache guard discipline.
+    and n-gram ban) is created fresh inside the token generator and dropped
+    on return — the KV-cache guard discipline.
     """
+    meta = raster.payload_meta(payload)
+    if meta is None:
+        raise ValueError("not a RAW2 payload")
+    _grid, n_tiles = page_tile_grid(meta["width"], meta["height"],
+                                    vision, tiling)
+    tokens = list(iter_decode_tokens(payload, vision, tiling, decode))
+    text = normalize_text(raster.tokens_to_text(tokens))
+    return text, n_tiles, len(tokens)
+
+
+def iter_decode_tokens(payload: bytes, vision: VisionSettings,
+                       tiling: TilingParams, decode: DecodeParameters):
+    """Per-step token generator — the streaming decode loop (M14 emission
+    order; stops at EOS / max_new_tokens / page exhaustion)."""
     img, glyph_scale, margin = raster.decode_payload(payload)
     h, w = img.shape[:2]
 
     global_size = vision.base_size if vision.crop_mode else vision.image_size
-    grid = (1, 1)
-    n_tiles = 0
-    if vision.crop_mode:
-        thr = tiling.small_image_no_crop_threshold
-        if not (thr is not None and w <= thr and h <= thr):
-            grid = best_grid(w, h, tiling)
-            n_tiles = grid[0] * grid[1]
+    grid, n_tiles = page_tile_grid(w, h, vision, tiling)
 
     rows, cols = raster.grid_shape(w, h, glyph_scale, margin)
     if rows == 0 or cols == 0:
-        return "", n_tiles, 0
+        return
 
     # visual context: per-cell patterns + ink, and remaining-ink suffix sums
     # (the stand-in for attending over all vision tokens at each step).
@@ -143,9 +162,28 @@ def ocr_decode_page(payload: bytes, vision: VisionSettings,
                 break
             tokens.append(tok)
             ban_state.append(tok)
+            yield tok
 
-    text = normalize_text(raster.tokens_to_text(tokens))
-    return text, n_tiles, len(tokens)
+
+def stream_decode_page(payload: bytes, vision: VisionSettings,
+                       tiling: TilingParams, decode: DecodeParameters):
+    """K4/K5-analogue incremental emitter: yields per-step text DELTAS with
+    the trailing-U+FFFD holdback discipline (DeltaTracker — M13), final
+    flush included, so ``"".join(deltas)`` equals the raw decoded text (the
+    reference streams raw deltas over SSE/stdout and normalizes at the end:
+    crates/core/src/streaming.rs:21-62, crates/server/src/generation.rs).
+    Demo/inspection path — the batch pipeline decodes whole pages."""
+    from .textops import DeltaTracker
+    tracker = DeltaTracker()
+    tokens: List[int] = []
+    for tok in iter_decode_tokens(payload, vision, tiling, decode):
+        tokens.append(tok)
+        delta = tracker.advance(raster.tokens_to_text(tokens), is_final=False)
+        if delta:
+            yield delta
+    delta = tracker.advance(raster.tokens_to_text(tokens), is_final=True)
+    if delta:
+        yield delta
 
 
 def safe_ocr_decode_page(payload: bytes, vision: VisionSettings,

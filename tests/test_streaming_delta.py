@@ -3,7 +3,28 @@ growing token prefix reassemble to exactly the final text, with U+FFFD
 fragments held back until final — the reference's stdout/SSE contract."""
 
 from deepseek_ocr_rs_ray.functions.raster import CHAR_TO_ID, tokens_to_text
-from deepseek_ocr_rs_ray.functions.textops import DeltaTracker, extract_delta
+from deepseek_ocr_rs_ray.functions.textops import (DeltaTracker,
+                                                   extract_delta,
+                                                   normalize_text)
+
+
+def test_stream_decode_page_deltas_concatenate_to_decode():
+    """K4-analogue: the per-step delta stream reassembles to exactly the
+    batch decode's output (after the shared final normalize)."""
+    from deepseek_ocr_rs_ray.config import (DecodeParameters, TilingParams,
+                                            VisionSettings)
+    from deepseek_ocr_rs_ray.functions import raster as R
+    from deepseek_ocr_rs_ray.functions.extract_row import (ocr_decode_page,
+                                                           stream_decode_page)
+    text = "HELLO WORLD\nRAY DATA 2026"
+    img = R.render_text_image(text, 4)
+    payload = R.encode_payload(img, 4, R.DEFAULT_MARGIN)
+    args = (payload, VisionSettings(), TilingParams.ocr1(), DecodeParameters())
+    deltas = list(stream_decode_page(*args))
+    full, _tiles, n_tokens = ocr_decode_page(*args)
+    assert all(deltas)                      # no empty emissions
+    assert len(deltas) == n_tokens          # one delta per emitted token
+    assert normalize_text("".join(deltas)) == full
 
 
 def test_incremental_decode_reassembles():
