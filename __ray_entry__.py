@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": R.q3_top_orders,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
         "q_hash_join_agg": R.q_hash_join_agg,
+        "q_promo_revenue": R.q_promo_revenue,
         "q_filter_project": R.q_filter_project,
         "q_topk_orders": R.q_topk_orders,
         "q_orders_global_sort": R.q_orders_global_sort,
@@ -92,6 +93,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_orders": R.Q3_SQL,
         "q5_local_supplier_volume": R.Q5_SQL,
         "q_hash_join_agg": R.Q_HASH_JOIN_SQL,
+        "q_promo_revenue": R.Q_PROMO_REVENUE_SQL,
         "q_filter_project": R.Q_FILTER_PROJECT_SQL,
         "q_topk_orders": R.Q_TOPK_SQL,
         "q_orders_global_sort": R.Q_GLOBAL_SORT_SQL,

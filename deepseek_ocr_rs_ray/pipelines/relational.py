@@ -466,6 +466,70 @@ LIMIT 10
 """
 
 
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promo revenue share for one ship month — the
+    broadcast-dimension probe (part is dimension-sized; its p_type flags
+    ship once via ray.put as a sorted key array + membership bitmap) with
+    a two-accumulator per-batch pre-agg and a single-row result."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = read_dim(sf_dir, "part", ["p_partkey", "p_type"])
+    keys = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    pref = ray.put((keys[order], promo[order]))
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"])
+    lo = pa.scalar(np.datetime64("1997-03-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-04-01", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pkeys, is_promo = ray.get(pref)
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        rev = cents_arr(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                t["l_discount"])))
+        rev_np = rev.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(pkeys, t["l_partkey"]
+                              .to_numpy(zero_copy_only=False))
+        idx = np.clip(idx, 0, len(pkeys) - 1)
+        hit = is_promo[idx]
+        return pa.table({
+            "promo_cents": pa.array([np.int64(rev_np[hit].sum())]),
+            "total_cents": pa.array([np.int64(rev_np.sum())]),
+        })
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby(None)
+             .aggregate(Sum("promo_cents", alias_name="promo_cents"),
+                        Sum("total_cents", alias_name="total_cents")))
+    df = agg.to_pandas()
+    df["promo_cents"] = df["promo_cents"].astype("int64")
+    df["total_cents"] = df["total_cents"].astype("int64")
+    df["promo_share"] = (df["promo_cents"].astype(np.float64)
+                         / df["total_cents"].astype(np.float64))
+    return df[["promo_cents", "total_cents", "promo_share"]]
+
+
+Q_PROMO_REVENUE_SQL = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS DOUBLE) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
 def q_orders_global_sort(sf_dir: str):
     """Global ``Dataset.sort`` (range-partitioned all-to-all) + limit —
     the wide sort operator exercised end-to-end. For small k the
