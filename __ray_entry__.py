@@ -88,6 +88,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # several oracles read expected/parameter side-tables from a parquet
+    # AUX_DIR; build them for the driver's gate sf up front so the SQL is
+    # valid regardless of whether the driver runs oracle or query first
+    import os
+    import sys
+    gate_sf = "/root/testdata/sf0.01"
+    if os.path.isdir(gate_sf):
+        try:
+            C.prepare_oracle_aux(gate_sf)
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"warning: oracle aux prebuild failed: {exc!r}",
+                  file=sys.stderr)
     return {
         "q1_pricing_summary": R.Q1_SQL,
         "q3_top_orders": R.Q3_SQL,

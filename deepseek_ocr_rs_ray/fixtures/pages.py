@@ -239,6 +239,13 @@ def generate_pages_parquet(out_dir: str, n_rows: int, seed: int = SEED,
 
     if parallel:
         import ray
+        if not ray.is_initialized():
+            # sessions are owned by the caller (repo rule) — a bare
+            # ray.remote here would auto-init one; generate serially instead
+            parallel = False
+
+    if parallel:
+        import ray
 
         @ray.remote(num_cpus=1)
         def _write_shard(idx: int, lo: int, hi: int) -> str:

@@ -1244,6 +1244,27 @@ def x_extract_pages(sf_dir: str):
                               "size_class", "html_bytes"])
 
 
+def prepare_oracle_aux(sf_dir: str) -> None:
+    """Refresh every oracle side-table under AUX_DIR for ``sf_dir``.
+
+    Called from ``__ray_entry__.oracle_sql()`` so the aux parquet the SQL
+    strings read exists and matches the gate's sf even if the driver
+    evaluates the oracle BEFORE running the Ray queries (each query also
+    rewrites its own aux on execution, which keeps other sf runs correct
+    when the query side goes first). Pure Python/pyarrow — no Ray session
+    needed."""
+    _ensure_payload_meta_aux(sf_dir)
+    _write_expected_thumbnails(sf_dir)
+    ft, rt = _expected_features_frames(sf_dir)
+    _write_aux_table(ft, "features_expected.parquet")
+    _write_aux_table(rt, "frames_expected.parquet")
+    _write_expected_extract(sf_dir)
+    _write_aux_table(_expected_manifest_table(sf_dir),
+                     "manifest_expected.parquet")
+    _write_expected_corpus_summary(sf_dir)
+    _write_centroids_aux(_ivf_centroids(sf_dir))
+
+
 def _write_aux_table(t: pa.Table, name: str) -> None:
     """Atomically publish an expected/aux table for a SQL oracle to read."""
     import os
