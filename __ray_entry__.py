@@ -62,9 +62,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jaccard_bigram_pairs": C.q_jaccard_bigram_pairs,
         "q_minhash_pairs": C.q_minhash_pairs,
         "q_simhash": C.q_simhash,
-        # corpus stats / sampling
+        # corpus stats / sampling / packing
         "q_top_tokens": C.q_top_tokens,
         "q_sample_stratified": C.q_sample_stratified,
+        "q_train_val_split": C.q_train_val_split,
+        "q_pack_bins": C.q_pack_bins,
         # similarity search
         "q_knn_cosine": C.q_knn_cosine,
         "q_embed_dup_pairs": C.q_embed_dup_pairs,
@@ -138,6 +140,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dup_clusters": C._dup_clusters_sql(),
         "q_top_tokens": C.Q_TOP_TOKENS_SQL,
         "q_sample_stratified": C.Q_STRATIFIED_SQL,
+        "q_train_val_split": C.Q_TRAIN_VAL_SPLIT_SQL,
+        "q_pack_bins": C.Q_PACK_BINS_SQL,
         "q_prompt_tokens": C._build_prompt_tokens_sql(),
         "x_preprocess_variants": C._smart_resize_sql(),
         "x_extract_pages": C.Q_EXTRACT_PAGES_SQL,

@@ -334,6 +334,125 @@ WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
 """
 
 
+def q_train_val_split(sf_dir: str):
+    """Deterministic dataset split (train/val/test ≈ 90/5/5) by md5 of the
+    doc id — reproducible at any parallelism, no RNG state to ship; the
+    standard hash-split for training corpora. Returns per-split counts and
+    token totals."""
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        splits = []
+        for i in ids:
+            bucket = int(T.md5_hex(str(i))[:2], 16) % 20
+            splits.append("train" if bucket < 18
+                          else ("val" if bucket == 18 else "test"))
+        tmp = pa.table({
+            "split": pa.array(splits, pa.string()),
+            "tokens": pa.array([T.ws_token_count(s) for s in texts],
+                               pa.int64()),
+            "n": pa.array(np.ones(len(ids), dtype=np.int64)),
+        })
+        return tmp.group_by("split").aggregate([("tokens", "sum"),
+                                                ("n", "sum")])
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("split")
+              .aggregate(Sum("tokens_sum", alias_name="sum_tokens"),
+                         Sum("n_sum", alias_name="n_docs")))
+
+
+Q_TRAIN_VAL_SPLIT_SQL = rf"""
+SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 20 < 18 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 20 = 18 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(SUM(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+')) END) AS BIGINT) AS sum_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+PACK_BIN_TOKENS = 2048
+PACK_BUCKETS = 256
+
+
+def q_pack_bins(sf_dir: str):
+    """Sequence packing (training-batch assembly): documents in a globally
+    deterministic order (md5(text), doc_id) are packed greedily into
+    ~PACK_BIN_TOKENS-token bins; each doc gets its bin id.
+
+    The distributed shape is a two-phase PREFIX SUM: the md5's first byte
+    gives 256 ORDERED range buckets; phase 1 pre-aggregates per-bucket
+    token totals (tiny), the driver prefix-sums them into bucket offsets
+    and broadcasts; phase 2 co-groups each bucket, sorts locally, local
+    cumsum + bucket offset = exact global running total → bin id. No
+    global sort, no sequential pass."""
+    import ray
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        md5s = [T.md5_hex(s) for s in texts]
+        return pa.table({
+            "bucket": pa.array([int(h[:2], 16) for h in md5s], pa.int64()),
+            "text_md5": pa.array(md5s, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "tokens": pa.array([T.ws_token_count(s) for s in texts],
+                               pa.int64()),
+        })
+
+    tagged = docs.map_batches(tag, batch_format="pyarrow")
+
+    # phase 1: per-bucket token totals (pre-agg inside map_batches, then a
+    # 256-group reduce) → driver prefix sum → broadcast offsets
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        return t.select(["bucket", "tokens"]).group_by("bucket").aggregate(
+            [("tokens", "sum")])
+
+    from ray.data.aggregate import Sum
+    totals = (tagged.map_batches(bucket_partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .aggregate(Sum("tokens_sum", alias_name="total"))
+              .to_pandas().sort_values("bucket"))
+    offsets = np.zeros(PACK_BUCKETS, dtype=np.int64)
+    cum = 0
+    for b, tot in zip(totals["bucket"], totals["total"]):
+        offsets[int(b)] = cum
+        cum += int(tot)
+    off_ref = ray.put(offsets)
+
+    # phase 2: per-bucket local sort + cumsum + offset = global running sum
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["text_md5", "doc_id"])
+        before = g["tokens"].cumsum() - g["tokens"] + offs[int(g["bucket"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "bin_id": (before // PACK_BIN_TOKENS).astype("int64"),
+        })
+
+    return tagged.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+Q_PACK_BINS_SQL = rf"""
+SELECT doc_id,
+       CAST((running - tokens) // {PACK_BIN_TOKENS} AS BIGINT) AS bin_id
+FROM (
+  SELECT doc_id, tokens,
+         SUM(tokens) OVER (ORDER BY text_md5, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS running
+  FROM (
+    SELECT doc_id, md5(text) AS text_md5,
+           CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+')) END AS tokens
+    FROM documents)
+)
+"""
+
 TOKEN_SHARDS = 64
 TOP_TOKENS_K = 50
 

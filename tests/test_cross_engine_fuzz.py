@@ -1,0 +1,125 @@
+"""Cross-engine determinism fuzz: the Python kernels and the DuckDB SQL
+idioms the oracles are built from must agree on ARBITRARY inputs, not just
+the fixture corpus (hypothesis-driven; no Ray session needed).
+
+Surfaces fuzzed: exact-cents money math, the 1e-6 similarity truncation,
+ASCII-whitespace tokenization, md5 fingerprints, the md5-hex→UBIGINT
+simhash feature hash, and the langid rule mirror.
+"""
+
+import duckdb
+import hypothesis.strategies as st
+import pytest
+from hypothesis import given, settings
+
+from deepseek_ocr_rs_ray.functions import textops as T
+
+con = duckdb.connect()
+
+# printable ASCII + the explicit whitespace set (the tokenization domain)
+_ASCII_TEXT = st.text(
+    alphabet=st.sampled_from(
+        [chr(c) for c in range(33, 127)] + list(" \t\n\r\f\v")),
+    max_size=200)
+
+
+def _sql_scalar(expr: str, **params):
+    keys = list(params)
+    sql = f"SELECT {expr} FROM (SELECT " + ", ".join(
+        f"? AS {k}" for k in keys) + ")"
+    return con.execute(sql, [params[k] for k in keys]).fetchone()[0]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(min_value=-1e7, max_value=1e7,
+                 allow_nan=False, allow_infinity=False))
+def test_cents_math_matches_duckdb(x):
+    import numpy as np
+
+    from deepseek_ocr_rs_ray.pipelines.common import cents_np
+    py = int(cents_np(np.array([x]))[0])
+    sql = _sql_scalar("CAST(FLOOR(v*100 + 0.5) AS BIGINT)", v=x)
+    assert py == int(sql)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(min_value=-1.0, max_value=1.0,
+                 allow_nan=False, allow_infinity=False))
+def test_round6_matches_duckdb(x):
+    import numpy as np
+
+    from deepseek_ocr_rs_ray.pipelines.common import round6_np
+    py = float(round6_np(np.array([x]))[0])
+    sql = _sql_scalar("FLOOR(v*1000000 + 0.5)/1000000", v=x)
+    assert py == float(sql)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ASCII_TEXT)
+def test_ascii_tokenization_matches_duckdb(s):
+    sql = _sql_scalar(
+        r"CASE WHEN trim(v, ' ' || chr(9) || chr(10) || chr(13) || chr(12)"
+        r" || chr(11)) = '' THEN 0 ELSE len(regexp_split_to_array("
+        r"trim(v, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)),"
+        r" '[ \t\n\f\r\v]+')) END", v=s)
+    assert T.ws_token_count(s) == int(sql)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ASCII_TEXT)
+def test_md5_matches_duckdb(s):
+    assert T.md5_hex(s) == _sql_scalar("md5(v)", v=s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=1000,
+                                      exclude_categories=("Cs",)),
+               min_size=1, max_size=30))
+def test_simhash_feature_hash_matches_duckdb(tok):
+    """int.from_bytes(md5[:8], 'big') == ('0x' || substr(md5,1,16))::UBIGINT."""
+    import hashlib
+    py = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+    sql = _sql_scalar("('0x' || substr(md5(v), 1, 16))::UBIGINT", v=tok)
+    assert py == int(sql)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_ASCII_TEXT)
+def test_langid_rule_matches_sql_mirror(s):
+    """detect_lang == the exact CASE mirror used by Q_LANGID_SQL."""
+    from deepseek_ocr_rs_ray.pipelines.corpus import _sql_str_list
+    toks_expr = (
+        r"list_filter(list_transform(regexp_split_to_array("
+        r"trim(v, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)),"
+        r" '[ \t\n\f\r\v]+'), x -> lower(x)), x -> x <> '')")
+    score = {lang: _sql_scalar(
+        f"len(list_filter({toks_expr}, "
+        f"x -> list_contains({_sql_str_list(T._STOPWORDS[lang])}, x)))", v=s)
+        for lang in ("en", "de", "fr")}
+    s_en, s_de, s_fr = (int(score[k]) for k in ("en", "de", "fr"))
+    if s_en > 0 and s_en >= s_de and s_en >= s_fr:
+        sql_pred = "en"
+    elif s_de > 0 and s_de >= s_fr:
+        sql_pred = "de"
+    elif s_fr > 0:
+        sql_pred = "fr"
+    else:
+        sql_pred = "unk"
+    assert T.detect_lang(s) == sql_pred
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=1, max_value=4096),
+       st.integers(min_value=1, max_value=4096))
+def test_smart_resize_invariants(h, w):
+    from deepseek_ocr_rs_ray.functions.imageops import smart_resize
+    factor, min_p, max_p = 28, 3136, 28 * 28 * 1280
+    try:
+        hb, wb = smart_resize(h, w, factor, min_p, max_p)
+    except ValueError:
+        aspect = max(h, w) / min(h, w)
+        assert aspect > 180  # only the aspect/degenerate guards may raise
+        return
+    assert hb % factor == 0 and wb % factor == 0
+    assert hb >= factor and wb >= factor
+    assert hb * wb <= max_p or (h * w) <= max_p  # floor clamp never exceeds
