@@ -26,6 +26,19 @@ import pyarrow.compute as pc
 
 from .common import cents_arr, cents_np, read_dim, read_table, single_row
 
+
+def probe_sorted(keys_sorted: np.ndarray, values: np.ndarray,
+                 probe: np.ndarray, default) -> np.ndarray:
+    """Vectorized dict-probe: values[lookup(probe)] with ``default`` for
+    misses, via searchsorted over a sorted key array (no per-row Python).
+    The broadcast-join building block for dimension lookups."""
+    idx = np.clip(np.searchsorted(keys_sorted, probe), 0,
+                  max(len(keys_sorted) - 1, 0))
+    if len(keys_sorted) == 0:
+        return np.full(len(probe), default)
+    hit = keys_sorted[idx] == probe
+    return np.where(hit, values[idx], default)
+
 CUTOFF = "1998-09-02"
 Q3_DATE = "1998-03-15"
 Q5_DATE_LO, Q5_DATE_HI = "1996-01-01", "1998-01-01"
@@ -233,25 +246,26 @@ def q5_local_supplier_volume(sf_dir: str,
 
     cust = read_dim(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     cust = cust[cust["c_nationkey"].isin(nation_names)]
-    cust_nation = dict(zip(cust["c_custkey"].astype(np.int64),
-                           cust["c_nationkey"].astype(np.int64)))
+    cust = cust.sort_values("c_custkey")
     supp = read_dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_nation = dict(zip(supp["s_suppkey"].astype(np.int64),
-                           supp["s_nationkey"].astype(np.int64)))
+    supp = supp.sort_values("s_suppkey")
 
-    cust_ref = ray.put(cust_nation)
-    supp_ref = ray.put(supp_nation)
+    # sorted key/value arrays, not dicts: probed vectorized per batch
+    cust_ref = ray.put((cust["c_custkey"].to_numpy(np.int64),
+                        cust["c_nationkey"].to_numpy(np.int64)))
+    supp_ref = ray.put((supp["s_suppkey"].to_numpy(np.int64),
+                        supp["s_nationkey"].to_numpy(np.int64)))
 
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     def orders_in_region(t: pa.Table) -> pa.Table:
-        cn = ray.get(cust_ref)
+        ck, cn = ray.get(cust_ref)
         lo = pa.scalar(np.datetime64(Q5_DATE_LO, "us"))
         hi = pa.scalar(np.datetime64(Q5_DATE_HI, "us"))
         t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
                              pc.less(t["o_orderdate"], hi)))
         keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-        nk = np.array([cn.get(int(k), -1) for k in keys], dtype=np.int64)
+        nk = probe_sorted(ck, cn, keys, -1)
         out = pa.table({"o_orderkey": t["o_orderkey"],
                         "cust_nation": pa.array(nk)})
         return out.filter(pc.not_equal(out["cust_nation"], pa.scalar(-1)))
@@ -268,18 +282,22 @@ def q5_local_supplier_volume(sf_dir: str,
             order_nation[k] = n
         if len(order_nation) > broadcast_cap:
             return _q5_join_fallback(sf_dir, o_small, supp_ref, nation_names)
-    onat_ref = ray.put(order_nation)
+    onat_keys = np.fromiter(sorted(order_nation), dtype=np.int64,
+                            count=len(order_nation))
+    onat_vals = np.array([order_nation[int(k)] for k in onat_keys],
+                         dtype=np.int64)
+    onat_ref = ray.put((onat_keys, onat_vals))
 
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
-        on = ray.get(onat_ref)
-        sn = ray.get(supp_ref)
+        ok, on = ray.get(onat_ref)
+        sk, sn = ray.get(supp_ref)
         okeys = t["l_orderkey"].to_numpy(zero_copy_only=False)
         skeys = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        cust_nat = np.array([on.get(int(k), -1) for k in okeys], dtype=np.int64)
-        s_nat = np.array([sn.get(int(k), -2) for k in skeys], dtype=np.int64)
+        cust_nat = probe_sorted(ok, on, okeys, -1)
+        s_nat = probe_sorted(sk, sn, skeys, -2)
         keep = cust_nat == s_nat
         if not keep.any():
             # must match the aggregated (group_by-suffixed) schema below
@@ -312,9 +330,9 @@ def _q5_join_fallback(sf_dir: str, o_small, supp_ref, nation_names):
                     ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
     def li_prep(t: pa.Table) -> pa.Table:
-        sn = ray.get(supp_ref)
+        sk, sn = ray.get(supp_ref)
         skeys = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        s_nat = np.array([sn.get(int(k), -2) for k in skeys], dtype=np.int64)
+        s_nat = probe_sorted(sk, sn, skeys, -2)
         rev = cents_arr(pc.multiply(t["l_extendedprice"],
                                     pc.subtract(pa.scalar(1.0), t["l_discount"])))
         return pa.table({"o_orderkey": t["l_orderkey"],
@@ -864,18 +882,19 @@ def q_top3_orders_per_segment(sf_dir: str):
     before the tiny global reduce (5 segments × 3 rows)."""
     import ray
     cust = read_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust["c_custkey"].to_pylist(),
-                      cust["c_mktsegment"].to_pylist()))
-    seg_ref = ray.put(seg_of)
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    seg = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    order = np.argsort(ck, kind="stable")
+    seg_ref = ray.put((ck[order], seg[order]))
 
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey",
                                            "o_totalprice"])
 
     def local_top(t: pa.Table) -> pa.Table:
-        segs = ray.get(seg_ref)
-        keys = t["o_custkey"].to_pylist()
+        ck_s, seg_s = ray.get(seg_ref)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False)
         g = pd.DataFrame({
-            "c_mktsegment": [segs.get(k) for k in keys],
+            "c_mktsegment": probe_sorted(ck_s, seg_s, keys, None),
             "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
             "total_cents": cents_arr(t["o_totalprice"]).to_numpy(zero_copy_only=False),
         })
