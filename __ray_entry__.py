@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_docs": R.q_sample_docs,
         "q_value_percentiles": R.q_value_percentiles,
         "q_events_running_total": R.q_events_running_total,
+        "q_event_gaps": R.q_event_gaps,
         "q_customers_semi_anti": R.q_customers_semi_anti,
         "q_top3_orders_per_segment": R.q_top3_orders_per_segment,
         # text analysis
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sample_docs": R.Q_SAMPLE_SQL,
         "q_value_percentiles": R.Q_PERCENTILES_SQL,
         "q_events_running_total": R.Q_RUNNING_TOTAL_SQL,
+        "q_event_gaps": R.Q_EVENT_GAPS_SQL,
         "q_customers_semi_anti": R.Q_SEMI_ANTI_SQL,
         "q_top3_orders_per_segment": R.Q_TOP3_PER_SEGMENT_SQL,
         "q_token_stats": C.Q_TOKEN_STATS_SQL,

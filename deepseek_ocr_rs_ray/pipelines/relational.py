@@ -834,6 +834,58 @@ GROUP BY user_id
 """
 
 
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap stats — the LAG window family. Hash-bucket
+    co-group + vectorized per-bucket diff; all-integer microsecond outputs
+    so both engines agree exactly. Users with <2 events emit no row."""
+    N_BUCKETS = 64
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["user_id"], pa.int64())
+        return pa.table({"bucket": pc.bit_wise_and(k, N_BUCKETS - 1),
+                         "user_id": k, "event_id": t["event_id"],
+                         "ts": t["ts"]})
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        # integer epoch-µs diff — total_seconds() goes through float64 and
+        # loses µs precision at ~1e11-µs gaps
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        g = g.assign(gap_us=us.groupby(g["user_id"]).diff())
+        g = g[g["gap_us"].notna()]
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_gaps": pd.Series([], dtype="int64"),
+                                 "sum_gap_us": pd.Series([], dtype="int64"),
+                                 "max_gap_us": pd.Series([], dtype="int64")})
+        g["gap_us"] = g["gap_us"].astype("int64")
+        out = (g.groupby("user_id")["gap_us"]
+                .agg(n_gaps="size", sum_gap_us="sum", max_gap_us="max")
+                .reset_index())
+        for c in ("n_gaps", "sum_gap_us", "max_gap_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("bucket").map_groups(gaps, batch_format="pandas"))
+
+
+Q_EVENT_GAPS_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # running totals: the SQL window-function family over co-grouped state
 # ---------------------------------------------------------------------------
