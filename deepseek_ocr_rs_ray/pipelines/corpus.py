@@ -1128,7 +1128,22 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
 AUX_DIR = "/tmp/dsocr_oracle_aux"
 
 
-def _write_centroids_aux(cent: np.ndarray) -> None:
+def aux_dir_for(sf_dir: str) -> str:
+    """Per-scale aux subdir, keyed by the sf dir's basename.
+
+    Every expected/side table an oracle SQL reads lives under the subdir of
+    the sf it was derived from, so an oracle evaluated at one scale can
+    never read another scale's expectations — regardless of the order the
+    driver interleaves query and oracle execution across sfs.
+    """
+    import os
+    import re
+    token = re.sub(r"[^A-Za-z0-9._-]", "_",
+                   os.path.basename(sf_dir.rstrip("/"))) or "default"
+    return os.path.join(AUX_DIR, token)
+
+
+def _write_centroids_aux(cent: np.ndarray, sf_dir: str) -> None:
     """Publish the (data-derived) IVF centroids for the SQL oracle.
 
     The centroids are MODEL PARAMETERS shared by both engines (like the
@@ -1138,17 +1153,13 @@ def _write_centroids_aux(cent: np.ndarray) -> None:
     """
     import os
 
-    import pyarrow.parquet as pq
-    os.makedirs(AUX_DIR, exist_ok=True)
     k, dim = cent.shape
     t = pa.table({
         "c": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
         "i": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), k)),
         "w": pa.array(cent.reshape(-1).astype(np.float64)),
     })
-    path = os.path.join(AUX_DIR, "ivf_centroids.parquet")
-    pq.write_table(t, path + ".tmp")
-    os.replace(path + ".tmp", path)
+    _write_aux_table(t, "ivf_centroids.parquet", sf_dir)
 
 
 def q_ann_ivf(sf_dir: str, k: int = 10):
@@ -1160,7 +1171,7 @@ def q_ann_ivf(sf_dir: str, k: int = 10):
     import ray
     q = _load_query_vec(sf_dir)
     cent = _ivf_centroids(sf_dir)
-    _write_centroids_aux(cent)
+    _write_centroids_aux(cent, sf_dir)
     qn = q / np.sqrt(np.dot(q, q))
     probe_cells = set(np.argsort(-(cent @ qn), kind="stable")[:IVF_PROBES].tolist())
     state = ray.put((q, cent, probe_cells))
@@ -1267,8 +1278,9 @@ cand AS (
 {_SQL_COS_TOPK}
 """
 
-Q_ANN_IVF_SQL = f"""
-WITH cent AS (SELECT c, i, w FROM read_parquet('{AUX_DIR}/ivf_centroids.parquet')),
+def ann_ivf_sql(sf_dir: str) -> str:
+    return f"""
+WITH cent AS (SELECT c, i, w FROM read_parquet('{aux_dir_for(sf_dir)}/ivf_centroids.parquet')),
 adots AS (
   SELECT e.vec_id, cent.c, SUM(CAST(e.embedding[cent.i] AS DOUBLE) * cent.w) AS d
   FROM embeddings e, cent
@@ -1327,9 +1339,10 @@ def _oracle_golden(sf_dir: str):
     return _GOLDEN_CACHE[n]
 
 
-Q_EXTRACT_PAGES_SQL = (
-    f"SELECT url, extracted_text, method, n_tiles, size_class, html_bytes "
-    f"FROM read_parquet('{AUX_DIR}/extract_expected.parquet')")
+def extract_pages_sql(sf_dir: str) -> str:
+    return (f"SELECT url, extracted_text, method, n_tiles, size_class, "
+            f"html_bytes "
+            f"FROM read_parquet('{aux_dir_for(sf_dir)}/extract_expected.parquet')")
 
 
 def _write_expected_extract(sf_dir: str) -> None:
@@ -1347,7 +1360,7 @@ def _write_expected_extract(sf_dir: str) -> None:
                                pa.int32()),
         "html_bytes": pa.array(html_lens, pa.int64()),
     })
-    _write_aux_table(t, "extract_expected.parquet")
+    _write_aux_table(t, "extract_expected.parquet", sf_dir)
 
 
 def x_extract_pages(sf_dir: str):
@@ -1363,40 +1376,79 @@ def x_extract_pages(sf_dir: str):
                               "size_class", "html_bytes"])
 
 
-def prepare_oracle_aux(sf_dir: str) -> None:
-    """Refresh every oracle side-table under AUX_DIR for ``sf_dir``.
+def _aux_code_stamp() -> str:
+    """md5 over every source file the expected tables derive from — the
+    skip key for ``prepare_oracle_aux`` (fixtures and kernels are
+    deterministic, so unchanged code ⇒ byte-identical aux)."""
+    import hashlib as _hl
+    import os
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = [os.path.join(pkg, "pipelines", "corpus.py"),
+             os.path.join(pkg, "pipelines", "extract.py"),
+             os.path.join(pkg, "oracle.py"),
+             os.path.join(pkg, "config.py")]
+    for sub in ("functions", "stages", "fixtures"):
+        d = os.path.join(pkg, sub)
+        paths.extend(os.path.join(d, n) for n in sorted(os.listdir(d))
+                     if n.endswith(".py"))
+    h = _hl.md5()
+    for p in paths:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
 
-    Called from ``__ray_entry__.oracle_sql()`` so the aux parquet the SQL
-    strings read exists and matches the gate's sf even if the driver
-    evaluates the oracle BEFORE running the Ray queries (each query also
-    rewrites its own aux on execution, which keeps other sf runs correct
-    when the query side goes first). Pure Python/pyarrow — no Ray session
-    needed."""
+
+def prepare_oracle_aux(sf_dir: str, force: bool = False) -> None:
+    """Refresh every oracle side-table under ``aux_dir_for(sf_dir)``.
+
+    Called from ``__ray_entry__.oracle_sql()`` for every existing sf dir so
+    the aux parquet the SQL strings read exists and matches its sf even if
+    the driver evaluates the oracle BEFORE running the Ray queries (each
+    query also rewrites its own aux on execution). Pure Python/pyarrow — no
+    Ray session needed. Skips the (expensive: ~70 s at sf0.1) rebuild when
+    a stamp shows the deriving source files are unchanged since the last
+    build."""
+    import os
+    stamp = _aux_code_stamp()
+    stamp_path = os.path.join(aux_dir_for(sf_dir), "_STAMP")
+    if not force and os.path.exists(stamp_path):
+        try:
+            with open(stamp_path) as f:
+                if f.read() == stamp:
+                    return
+        except OSError:
+            pass
     _ensure_payload_meta_aux(sf_dir)
     _write_expected_thumbnails(sf_dir)
     ft, rt = _expected_features_frames(sf_dir)
-    _write_aux_table(ft, "features_expected.parquet")
-    _write_aux_table(rt, "frames_expected.parquet")
+    _write_aux_table(ft, "features_expected.parquet", sf_dir)
+    _write_aux_table(rt, "frames_expected.parquet", sf_dir)
     _write_expected_extract(sf_dir)
     _write_aux_table(_expected_manifest_table(sf_dir),
-                     "manifest_expected.parquet")
+                     "manifest_expected.parquet", sf_dir)
     _write_expected_corpus_summary(sf_dir)
-    _write_centroids_aux(_ivf_centroids(sf_dir))
+    _write_centroids_aux(_ivf_centroids(sf_dir), sf_dir)
+    with open(stamp_path + ".tmp", "w") as f:
+        f.write(stamp)
+    os.replace(stamp_path + ".tmp", stamp_path)
 
 
-def _write_aux_table(t: pa.Table, name: str) -> None:
-    """Atomically publish an expected/aux table for a SQL oracle to read."""
+def _write_aux_table(t: pa.Table, name: str, sf_dir: str) -> None:
+    """Atomically publish an expected/aux table for a SQL oracle to read
+    (under the per-scale subdir — see ``aux_dir_for``)."""
     import os
 
     import pyarrow.parquet as pq
-    os.makedirs(AUX_DIR, exist_ok=True)
-    path = os.path.join(AUX_DIR, name)
+    d = aux_dir_for(sf_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, name)
     pq.write_table(t, path + ".tmp")
     os.replace(path + ".tmp", path)
 
 
-Q_PAYLOAD_META_SQL = (f"SELECT url, width, height, glyph_scale, nbytes "
-                      f"FROM read_parquet('{AUX_DIR}/payload_meta_expected.parquet')")
+def payload_meta_sql(sf_dir: str) -> str:
+    return (f"SELECT url, width, height, glyph_scale, nbytes "
+            f"FROM read_parquet('{aux_dir_for(sf_dir)}/payload_meta_expected.parquet')")
 
 _PAYLOADS_CACHE: dict = {}
 
@@ -1420,7 +1472,7 @@ def _ensure_payload_meta_aux(sf_dir: str) -> None:
         "height": pa.array([m["height"] for m in metas], pa.int64()),
         "glyph_scale": pa.array([m["glyph_scale"] for m in metas], pa.int64()),
         "nbytes": pa.array([m["nbytes"] for m in metas], pa.int64()),
-    }), "payload_meta_expected.parquet")
+    }), "payload_meta_expected.parquet", sf_dir)
 
 
 def x_payload_meta(sf_dir: str):
@@ -1488,9 +1540,9 @@ def _payload_dataset(sf_dir: str):
 # the thumb BYTES are compared via md5 hex (byte equality): DuckDB's
 # fetchdf materializes raw BLOB columns as unhashable bytearrays, which no
 # value-hash gate can handle — so the expected table stores the fingerprint
-Q_THUMBNAILS_SQL = (f"SELECT url, thumb_md5, thumb_bytes, "
-                    f"orig_width, orig_height "
-                    f"FROM read_parquet('{AUX_DIR}/thumbs_expected.parquet')")
+def thumbnails_sql(sf_dir: str) -> str:
+    return (f"SELECT url, thumb_md5, thumb_bytes, orig_width, orig_height "
+            f"FROM read_parquet('{aux_dir_for(sf_dir)}/thumbs_expected.parquet')")
 
 
 _THUMBS_CACHE: dict = {}
@@ -1507,7 +1559,7 @@ def _write_expected_thumbnails(sf_dir: str) -> None:
     from ..functions.raster import decode_payload, encode_payload
     n = pages_rows_for(sf_dir)
     if n in _THUMBS_CACHE:
-        _write_aux_table(_THUMBS_CACHE[n], "thumbs_expected.parquet")
+        _write_aux_table(_THUMBS_CACHE[n], "thumbs_expected.parquet", sf_dir)
         return
     rows = {"url": [], "thumb_md5": [], "thumb_bytes": [],
             "orig_width": [], "orig_height": []}
@@ -1528,7 +1580,7 @@ def _write_expected_thumbnails(sf_dir: str) -> None:
         "orig_height": pa.array(rows["orig_height"], pa.int64()),
     })
     _THUMBS_CACHE[n] = t
-    _write_aux_table(t, "thumbs_expected.parquet")
+    _write_aux_table(t, "thumbs_expected.parquet", sf_dir)
 
 
 def x_image_thumbnails(sf_dir: str):
@@ -1575,10 +1627,14 @@ def _fingerprint_features(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-Q_FEATURES_SQL = (f"SELECT url, n_dims, features_md5 "
-                  f"FROM read_parquet('{AUX_DIR}/features_expected.parquet')")
-Q_FRAMES_SQL = (f"SELECT url, frame_index, n_dims, features_md5 "
-                f"FROM read_parquet('{AUX_DIR}/frames_expected.parquet')")
+def features_sql(sf_dir: str) -> str:
+    return (f"SELECT url, n_dims, features_md5 "
+            f"FROM read_parquet('{aux_dir_for(sf_dir)}/features_expected.parquet')")
+
+
+def frames_sql(sf_dir: str) -> str:
+    return (f"SELECT url, frame_index, n_dims, features_md5 "
+            f"FROM read_parquet('{aux_dir_for(sf_dir)}/frames_expected.parquet')")
 
 _FEATURES_CACHE: dict = {}
 
@@ -1628,7 +1684,7 @@ def x_image_features(sf_dir: str):
     expected vectors)."""
     from ..stages.multimodal import ImageFeatureStage
     ft, _ = _expected_features_frames(sf_dir)
-    _write_aux_table(ft, "features_expected.parquet")
+    _write_aux_table(ft, "features_expected.parquet", sf_dir)
     ds = _payload_dataset(sf_dir)
     feats = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
                            batch_size=32, concurrency=2)
@@ -1640,7 +1696,7 @@ def x_frame_samples(sf_dir: str):
     SQL-oracled via per-frame feature fingerprints)."""
     from ..stages.multimodal import FrameSampleStage
     _, rt = _expected_features_frames(sf_dir)
-    _write_aux_table(rt, "frames_expected.parquet")
+    _write_aux_table(rt, "frames_expected.parquet", sf_dir)
     ds = _payload_dataset(sf_dir)
     frames = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
                             fn_constructor_kwargs={"frame_h": 64, "stride": 2},
@@ -1670,13 +1726,13 @@ def _tiling_candidates_sql() -> str:
     return ", ".join(f"({w}, {h})" for w, h in candidate_grids(2, 9))
 
 
-def _build_prompt_tokens_sql() -> str:
+def _build_prompt_tokens_sql(sf_dir: str) -> str:
     _, n_text, nq_l, nq_g = _prompt_constants()
     n_global = nq_g * (nq_g + 1) + 1
     return rf"""
 WITH m AS (
   SELECT url, width, height
-  FROM read_parquet('{AUX_DIR}/payload_meta_expected.parquet')
+  FROM read_parquet('{aux_dir_for(sf_dir)}/payload_meta_expected.parquet')
 ), cand(w, h) AS (VALUES {_tiling_candidates_sql()}),
 diffs AS (
   SELECT m.url, cand.w, cand.h,
@@ -1792,12 +1848,12 @@ PP_MIN_PIXELS = PP_FACTOR * PP_FACTOR * 4       # 3136
 PP_MAX_PIXELS = PP_FACTOR * PP_FACTOR * 1280    # ~1M
 
 
-def _smart_resize_sql() -> str:
+def _smart_resize_sql(sf_dir: str) -> str:
     f = PP_FACTOR
     return rf"""
 WITH m AS (
   SELECT url, CAST(height AS DOUBLE) AS h0, CAST(width AS DOUBLE) AS w0
-  FROM read_parquet('{AUX_DIR}/payload_meta_expected.parquet')
+  FROM read_parquet('{aux_dir_for(sf_dir)}/payload_meta_expected.parquet')
 ), s1 AS (  -- if h < factor: w = round(w*f/h); h = f
   SELECT url,
          CASE WHEN h0 < {f} THEN FLOOR(w0 * {f} / h0 + 0.5) ELSE w0 END AS w1,
@@ -1892,9 +1948,10 @@ def x_preprocess_variants(sf_dir: str):
     return pages.map_batches(f, batch_format="pyarrow")
 
 
-Q_EXTRACT_MANIFEST_SQL = (
-    f"SELECT partition_id, size_class, row_count, ocr_rows, content_hash, "
-    f"status FROM read_parquet('{AUX_DIR}/manifest_expected.parquet')")
+def extract_manifest_sql(sf_dir: str) -> str:
+    return (f"SELECT partition_id, size_class, row_count, ocr_rows, "
+            f"content_hash, status "
+            f"FROM read_parquet('{aux_dir_for(sf_dir)}/manifest_expected.parquet')")
 
 
 def _expected_manifest_table(sf_dir: str) -> pa.Table:
@@ -1952,15 +2009,15 @@ def x_extract_manifest(sf_dir: str):
     out = d.rstrip("/") + "_out"
     run_extract_job(sorted(glob.glob(d + "/*.parquet")), out, wave_size=8)
     _write_aux_table(_expected_manifest_table(sf_dir),
-                     "manifest_expected.parquet")
+                     "manifest_expected.parquet", sf_dir)
     t = mfst.read_manifest(out)
     return t.select(["partition_id", "size_class", "row_count", "ocr_rows",
                      "content_hash", "status"])
 
 
-Q_CORPUS_PIPELINE_SQL = (
-    f"SELECT unique_docs, total_tokens, ocr_docs, docs_after_gate "
-    f"FROM read_parquet('{AUX_DIR}/corpus_summary_expected.parquet')")
+def corpus_pipeline_sql(sf_dir: str) -> str:
+    return (f"SELECT unique_docs, total_tokens, ocr_docs, docs_after_gate "
+            f"FROM read_parquet('{aux_dir_for(sf_dir)}/corpus_summary_expected.parquet')")
 
 
 def _write_expected_corpus_summary(sf_dir: str) -> None:
@@ -1990,7 +2047,7 @@ def _write_expected_corpus_summary(sf_dir: str) -> None:
         "docs_after_gate": pa.array([sum(a["n"] for a in agg.values())],
                                     pa.int64()),
     })
-    _write_aux_table(t, "corpus_summary_expected.parquet")
+    _write_aux_table(t, "corpus_summary_expected.parquet", sf_dir)
 
 
 def x_corpus_pipeline(sf_dir: str):

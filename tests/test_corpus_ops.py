@@ -118,7 +118,7 @@ def test_sql_oracle_parity_small(ray_session, qname):
     for t in ("documents", "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     ray_df = to_pandas(m.queries()[qname](SF))
-    sql_df = con.execute(m.oracle_sql()[qname]).fetchdf()
+    sql_df = con.execute(m.oracle_sql_for(SF)[qname]).fetchdf()
     assert compare(qname, ray_df, sql_df) == []
 
 

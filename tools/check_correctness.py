@@ -88,7 +88,10 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # sf-keyed oracle view (aux side-table paths for THIS sf); each query
+    # rewrites its own aux before returning, and the tool always runs the
+    # query before its oracle, so no prebuild pass is needed here
+    oracles = entrymod.oracle_sql_for(sf_dir)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
