@@ -152,6 +152,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_jaccard_vs_doc0": C.Q_JACCARD_SQL,
         "q_jaccard_pairs": C.Q_JACCARD_PAIRS_SQL,
         "q_jaccard_bigram_pairs": C.Q_JACCARD_BIGRAM_SQL,
+        "q_minhash_pairs": C.minhash_pairs_sql(sf_dir),
         "q_knn_cosine": C.Q_KNN_SQL,
         "q_embed_dup_pairs": C.Q_EMBED_DUP_SQL,
         "q_dup_clusters": C._dup_clusters_sql(),
@@ -168,7 +169,10 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "x_image_thumbnails": C.thumbnails_sql(sf_dir),
         "x_image_features": C.features_sql(sf_dir),
         "x_frame_samples": C.frames_sql(sf_dir),
-        # rows-only: q_minhash_pairs (banding pytest-verified vs brute
-        # force), x_extract_stage_totals (wall-clock timings), and the
-        # image/frame stages (binary+list columns; pytest byte gates)
+        "x_extract_stage_totals": C.extract_stage_totals_sql(sf_dir),
+        # every queries() entry is oracled. q_minhash_pairs checks
+        # against the single-process naive port of the same deterministic
+        # mine+verify (hash-exact; recall vs brute force additionally
+        # gated in pytest); x_extract_stage_totals oracles the per-stage
+        # COUNTS (wall-clock timings are rows-only via _metrics parquet)
     }

@@ -710,6 +710,8 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5,
     Dataset.join of the exploded pair sides against the corpus.
     """
     import ray
+    _write_aux_table(_expected_minhash_pairs(sf_dir, threshold),
+                     "minhash_pairs_expected.parquet", sf_dir)
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     a_params = _minhash_params()
     N_SHARDS = 256  # shuffle key: hash-shard of the bucket, NOT the bucket
@@ -909,6 +911,80 @@ def _minhash_verify_join(docs, cand, pshard_fn, verify_fn) -> pd.DataFrame:
     return (joined.map_batches(tag, batch_format="pyarrow")
             .groupby("pshard").map_groups(verify_fn, batch_format="pandas")
             .to_pandas())
+
+
+_MINHASH_EXPECTED_CACHE: dict = {}
+
+
+def _expected_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Single-process naive port of the MinHash-LSH mine+verify (the oracle
+    discipline used for the extraction golden rows): same shared kernels
+    (``shingle_hashes``/``minhash_signature``), same band fold, same
+    estimate prefilter, same exact-Jaccard verify — a sequential dict walk
+    instead of the banding shuffle. The whole pipeline is deterministic, so
+    the distributed result must match this table byte-for-byte at any
+    parallelism. Recall vs brute-force exact Jaccard is separately gated in
+    pytest (tests/test_corpus_ops.py)."""
+    import os
+
+    import pyarrow.parquet as pq
+    if sf_dir in _MINHASH_EXPECTED_CACHE:
+        return _MINHASH_EXPECTED_CACHE[sf_dir]
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    a_params = _minhash_params()
+    mix = np.uint64(0xC2B2AE3D27D4EB4F)
+    sigs: dict = {}
+    shingles: dict = {}
+    buckets: dict = {}
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        full = minhash_signature(text, a_params)
+        sigs[doc_id] = full
+        shingles[doc_id] = shingle_hashes(text)
+        sig = full.reshape(LSH_BANDS, LSH_ROWS)
+        bk = sig[:, 0]
+        for r in range(1, LSH_ROWS):
+            bk = (bk * mix) ^ sig[:, r]
+        for band in range(LSH_BANDS):
+            buckets.setdefault((band, int(bk[band])), []).append(doc_id)
+    keep = {"a": [], "b": [], "jaccard": []}
+    seen: set = set()
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        uniq = sorted(set(ids))
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                p = (uniq[i], uniq[j])
+                if p in seen:
+                    continue
+                seen.add(p)
+                est = (sigs[p[0]] == sigs[p[1]]).mean()
+                if est < threshold - MINHASH_EST_MARGIN:
+                    continue
+                sa, sb = shingles[p[0]], shingles[p[1]]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    keep["a"].append(p[0])
+                    keep["b"].append(p[1])
+                    keep["jaccard"].append(np.floor(jac * 1e6 + 0.5) / 1e6)
+    order = np.lexsort((np.asarray(keep["b"]), np.asarray(keep["a"]))) \
+        if keep["a"] else np.array([], dtype=np.int64)
+    out = pa.table({
+        "a": pa.array(np.asarray(keep["a"], dtype=np.int64)[order]),
+        "b": pa.array(np.asarray(keep["b"], dtype=np.int64)[order]),
+        "jaccard": pa.array(np.asarray(keep["jaccard"],
+                                       dtype=np.float64)[order]),
+    })
+    _MINHASH_EXPECTED_CACHE[sf_dir] = out
+    return out
+
+
+def minhash_pairs_sql(sf_dir: str) -> str:
+    return (f"SELECT a, b, jaccard FROM read_parquet("
+            f"'{aux_dir_for(sf_dir)}/minhash_pairs_expected.parquet')")
 
 
 def simhash64(text: str) -> int:
@@ -1428,6 +1504,8 @@ def prepare_oracle_aux(sf_dir: str, force: bool = False) -> None:
                      "manifest_expected.parquet", sf_dir)
     _write_expected_corpus_summary(sf_dir)
     _write_centroids_aux(_ivf_centroids(sf_dir), sf_dir)
+    _write_aux_table(_expected_minhash_pairs(sf_dir),
+                     "minhash_pairs_expected.parquet", sf_dir)
     with open(stamp_path + ".tmp", "w") as f:
         f.write(stamp)
     os.replace(stamp_path + ".tmp", stamp_path)
@@ -1743,8 +1821,12 @@ diffs AS (
   FROM m, cand
 ),
 mins AS (SELECT url, MIN(diff) AS md FROM diffs GROUP BY url),
+-- tie window mirrors best_grid's (and preprocess.rs:107's) f64::EPSILON
+-- compare, not exact equality: a diff within eps of the minimum joins the
+-- area tie-break on both engines
 ties AS (
-  SELECT d.* FROM diffs d JOIN mins USING (url) WHERE d.diff = mins.md
+  SELECT d.* FROM diffs d JOIN mins USING (url)
+  WHERE d.diff - mins.md < 2.220446049250313e-16
 ),
 pick AS (
   SELECT url, w, h FROM (
@@ -2112,12 +2194,29 @@ def x_corpus_pipeline(sf_dir: str):
     return df
 
 
+def extract_stage_totals_sql(sf_dir: str) -> str:
+    aux = aux_dir_for(sf_dir)
+    return (f"SELECT stage, count FROM ("
+            f"SELECT 'dom' AS stage, COUNT(*) AS count "
+            f"FROM read_parquet('{aux}/extract_expected.parquet') "
+            f"UNION ALL SELECT 'ocr', COUNT(*) "
+            f"FROM read_parquet('{aux}/extract_expected.parquet') "
+            f"WHERE method = 'ocr') ORDER BY stage")
+
+
 def x_extract_stage_totals(sf_dir: str):
-    """G1 stage-totals rollup over the job's per-wave metrics (count /
-    total / min / max per stage — crates/cli/src/bench.rs:139-172)."""
+    """G1 stage-totals rollup over the job's per-wave metrics
+    (crates/cli/src/bench.rs:139-172). The query surface is the ORACLED
+    half — per-stage row counts, deterministic per fixture (dom sees every
+    page, ocr only the routed rows) and checked against the single-process
+    golden rows. The timing half (total/min/max ms per stage) is inherently
+    wall-clock and stays rows-only: it lives in the job's ``_metrics``
+    parquet and ``report.json`` (see ``read_stage_totals`` /
+    ``_write_job_report``) rather than under the value-hash gate."""
     import glob
     from .extract import read_stage_totals, run_extract_job
     d = _pages_dir_for(sf_dir)
     out = d.rstrip("/") + "_out"
     run_extract_job(sorted(glob.glob(d + "/*.parquet")), out, wave_size=8)
-    return read_stage_totals(out)
+    _write_expected_extract(sf_dir)
+    return read_stage_totals(out).select_columns(["stage", "count"])

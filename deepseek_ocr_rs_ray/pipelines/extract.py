@@ -73,7 +73,8 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
     from ..sources.pages import read_pages
     # read_pages validates the schema at entry; build it first so a
     # malformed input fails with a precise SchemaError before the size-cut
-    # sampling touches any data. Block count targets ~16 blocks/CPU so the
+    # sampling touches any data. Block count targets ~8 blocks/CPU
+    # (GRAFT_BLOCKS_PER_CPU; measured best on this host) so the
     # heavy-tailed page costs balance across the pool without a skew tail.
     total_cpus_hint = int(ray.cluster_resources().get("CPU", 4))
     bpc = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "8"))

@@ -54,7 +54,8 @@ def read_pages(paths: Sequence[str], columns: Optional[Sequence[str]] = None,
     ``num_blocks`` (override_num_blocks) controls map-task granularity
     downstream: page costs are heavy-tailed (2 MB pages, dense OCR scans),
     so the default ~200 blocks leaves a skew tail where a few actors finish
-    last with multi-second blocks; callers size it to ~16 blocks per CPU.
+    last with multi-second blocks; callers size it to ~8 blocks per CPU
+    (extract.py GRAFT_BLOCKS_PER_CPU default).
     """
     import ray.data
     paths = sorted(paths)

@@ -76,6 +76,60 @@ def test_minhash_pairs_verified_and_recall(ray_session):
         assert inter / union >= 0.5
 
 
+def test_minhash_near_threshold_naive_parity(ray_session, tmp_path):
+    """Distributed LSH == single-process naive port on a corpus engineered
+    to sit NEAR the 0.5 threshold (the regime where the estimate-prefilter
+    margin and banding S-curve actually bite), plus precision exactness vs
+    brute force. This pins the MINHASH_EST_MARGIN semantics: whatever the
+    margin admits/drops, both engines must agree pair-for-pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(0xBEEF)
+    vocab = [f"tok{k}" for k in range(2000)]
+    ids, texts = [], []
+    did = 0
+    # 9 pairs whose word overlap sweeps across the threshold band
+    for frac in (0.30, 0.40, 0.45, 0.50, 0.55, 0.60, 0.70, 0.85, 0.95):
+        base = [vocab[i] for i in rng.integers(0, 2000, size=150)]
+        keep = int(len(base) * frac)
+        tail = [vocab[i] for i in rng.integers(0, 2000,
+                                               size=len(base) - keep)]
+        ids += [did, did + 1]
+        texts += [" ".join(base), " ".join(base[:keep] + tail)]
+        did += 2
+    # background noise docs
+    for _ in range(30):
+        ids.append(did)
+        texts.append(" ".join(vocab[i]
+                              for i in rng.integers(0, 2000, size=120)))
+        did += 1
+    sf = str(tmp_path)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   sf + "/documents.parquet")
+    got = C.q_minhash_pairs(sf, threshold=0.5)
+    expected = C._expected_minhash_pairs(sf, threshold=0.5).to_pandas()
+    assert got.reset_index(drop=True).equals(expected)
+    # precision is exact by construction: brute-force check every pair
+    hs = {i: C.shingle_hashes(t) for i, t in zip(ids, texts)}
+    found = set(zip(got["a"], got["b"]))
+    strong = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = hs[ids[i]], hs[ids[j]]
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            jac = inter / union if union else 0.0
+            if jac >= 0.75:
+                strong.add((ids[i], ids[j]))
+    for a, b in found:
+        ha, hb = hs[a], hs[b]
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        assert inter / (ha.size + hb.size - inter) >= 0.5
+    # recall: well-above-threshold pairs must all survive margin + banding
+    assert strong and strong.issubset(found)
+
+
 def test_ann_ivf_recall(ray_session):
     approx = C.q_ann_ivf(SF).reset_index(drop=True)
     exact = C.q_knn_cosine(SF).reset_index(drop=True)

@@ -123,3 +123,49 @@ def test_smart_resize_invariants(h, w):
     assert hb % factor == 0 and wb % factor == 0
     assert hb >= factor and wb >= factor
     assert hb * wb <= max_p or (h * w) <= max_p  # floor clamp never exceeds
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.one_of(
+    # arbitrary dims
+    st.tuples(st.integers(1, 3000), st.integers(1, 3000)),
+    # dims whose aspect EXACTLY matches several candidate grids at once
+    # (e.g. 2/1 == 4/2 == 8/4) — the regime the area tie-break exists for
+    st.tuples(st.integers(1, 9), st.integers(1, 9),
+              st.integers(1, 400)).map(lambda t: (t[0] * t[2], t[1] * t[2])),
+))
+def test_best_grid_matches_sql_mirror(wh):
+    """best_grid (the eps-window tie + area tie-break from
+    preprocess.rs:96-111) vs the q_prompt_tokens oracle's pick CTE on
+    arbitrary dims — including exact-ratio multiples that produce multi-way
+    ties."""
+    from deepseek_ocr_rs_ray.config import TilingParams
+    from deepseek_ocr_rs_ray.functions.imageops import best_grid
+    from deepseek_ocr_rs_ray.pipelines.corpus import _tiling_candidates_sql
+    w, h = wh
+    params = TilingParams.ocr1()
+    py = best_grid(w, h, params)
+    ts = params.tile_size
+    sql = f"""
+WITH m(width, height) AS (VALUES (?, ?)),
+cand(w, h) AS (VALUES {_tiling_candidates_sql()}),
+diffs AS (
+  SELECT cand.w, cand.h,
+         ABS(CAST(m.width AS DOUBLE)/m.height
+             - CAST(cand.w AS DOUBLE)/cand.h) AS diff,
+         CAST(m.width AS DOUBLE)*m.height
+             > 0.5*{ts}*{ts}*cand.w*cand.h AS area_ok
+  FROM m, cand
+),
+mins AS (SELECT MIN(diff) AS md FROM diffs),
+ties AS (
+  SELECT d.* FROM diffs d, mins WHERE d.diff - mins.md < 2.220446049250313e-16
+)
+SELECT w, h FROM (
+  SELECT w, h,
+         ROW_NUMBER() OVER (ORDER BY area_ok DESC,
+           CASE WHEN area_ok THEN -(w*100 + h) ELSE (w*100 + h) END ASC) AS rn
+  FROM ties) WHERE rn = 1
+"""
+    got = con.execute(sql, [w, h]).fetchone()
+    assert (int(got[0]), int(got[1])) == py, (w, h, py, got)
