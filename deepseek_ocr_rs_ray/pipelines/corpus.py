@@ -21,6 +21,8 @@ Scale patterns:
 from __future__ import annotations
 
 import hashlib
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -285,36 +287,133 @@ FROM documents d, q
 """
 
 
-def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+PAIR_BUCKET_CAP = int(os.environ.get("GRAFT_PAIR_BUCKET_CAP", "2000"))
+
+
+def _capped_bucket_pairs(ds, key_col: str, id_col: str, pair_fn, cross_fn,
+                         cap: int = None):
+    """All-pairs within each ``key_col`` bucket with NO unbounded quadratic
+    task: any bucket larger than ``cap`` rows is decomposed into triangle
+    blocks — each row hashes to one of m = ceil(k/cap) blocks, rows are
+    replicated into every block-pair group (p, q) they touch, and group
+    (p, q) computes only within-block (p == q) or cross-block (p < q)
+    pairs. The union of groups covers every unordered pair exactly once,
+    per-task row count is bounded by ~2·cap, and the O(k²) total work
+    parallelizes over m(m+1)/2 tasks instead of stalling one. Replication
+    cost (m× the oversized bucket) only applies to oversized buckets; when
+    none exist this is exactly the plain bucketed groupby.
+
+    ``pair_fn(g)`` emits pairs among all rows of ``g``; ``cross_fn(a, b)``
+    emits only pairs spanning the two frames.
+    """
+    if cap is None:
+        cap = PAIR_BUCKET_CAP
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        return (t.select([key_col]).group_by(key_col)
+                .aggregate([(key_col, "count")]))
+
+    sizes = (ds.map_batches(partial_counts, batch_format="pyarrow")
+             .to_pandas().groupby(key_col)[f"{key_col}_count"].sum())
+    m_of = {k: int(np.ceil(n / cap)) for k, n in sizes.items() if n > cap}
+    if not m_of:
+        return ds.groupby(key_col).map_groups(pair_fn,
+                                              batch_format="pandas")
+
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
+    def expand(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = []
+        for key, sub in df.groupby(key_col, sort=False):
+            m = m_of.get(key, 1)
+            if m == 1:
+                sub = sub.copy()
+                sub["_bp"] = 0
+                sub["_bq"] = 0
+                sub["_blk"] = 0
+                out.append(sub)
+                continue
+            ids = sub[id_col].to_numpy().astype(np.uint64)
+            blk = ((ids * gold) >> np.uint64(33)).astype(np.int64) % m
+            for p in range(m):
+                for q in range(p, m):
+                    mask = (blk == p) | (blk == q)
+                    if not mask.any():
+                        continue
+                    rep = sub[mask].copy()
+                    rep["_bp"] = p
+                    rep["_bq"] = q
+                    rep["_blk"] = blk[mask]
+                    out.append(rep)
+        return pa.Table.from_pandas(pd.concat(out, ignore_index=True),
+                                    preserve_index=False)
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        bp, bq = int(g["_bp"].iat[0]), int(g["_bq"].iat[0])
+        if bp == bq:
+            return pair_fn(g.drop(columns=["_bp", "_bq", "_blk"]))
+        a = g[g["_blk"] == bp].drop(columns=["_bp", "_bq", "_blk"])
+        b = g[g["_blk"] == bq].drop(columns=["_bp", "_bq", "_blk"])
+        return cross_fn(a, b)
+
+    return (ds.map_batches(expand, batch_format="pyarrow")
+            .groupby([key_col, "_bp", "_bq"])
+            .map_groups(block_pairs, batch_format="pandas"))
+
+
+def _jaccard_pair_frame(ids_a, sets_a, ids_b, sets_b, same: bool,
+                        threshold: float) -> pd.DataFrame:
+    """Pairs above threshold between two id/set lists (all i<j pairs when
+    ``same``, else every cross pair once, ordered a < b)."""
+    rows = {"a": [], "b": [], "jaccard": []}
+    for i in range(len(ids_a)):
+        start = i + 1 if same else 0
+        for j in range(start, len(ids_b)):
+            inter = len(sets_a[i] & sets_b[j])
+            union = len(sets_a[i]) + len(sets_b[j]) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                x, y = int(ids_a[i]), int(ids_b[j])
+                rows["a"].append(min(x, y))
+                rows["b"].append(max(x, y))
+                rows["jaccard"].append(float(np.floor(jac * 1e6 + 0.5) / 1e6))
+    return pd.DataFrame({"a": pd.Series(rows["a"], dtype="int64"),
+                         "b": pd.Series(rows["b"], dtype="int64"),
+                         "jaccard": pd.Series(rows["jaccard"],
+                                              dtype="float64")})
+
+
+def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                    bucket_cap: int = None):
     """Near-dup pairs by word-set Jaccard within each ``source`` bucket.
 
-    groupby(source).map_groups — co-locates each bucket, O(k²) verify inside.
-    At corpus scale the bucketing key comes from LSH (q_minhash_pairs);
-    here the natural partition key demonstrates the bucketed-pairs shape
-    with a SQL oracle.
+    Bucketed-pairs shape with a SQL oracle: each bucket co-locates via the
+    groupby, the O(k²) verify runs inside — and oversized buckets are
+    triangle-block-decomposed (``_capped_bucket_pairs``) so a skewed bucket
+    parallelizes instead of stalling one task. At corpus scale the
+    bucketing key comes from LSH (q_minhash_pairs).
     """
     docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def prep(g: pd.DataFrame):
         g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
         sets = [frozenset(tok.lower() for tok in T.ascii_tokens(t))
                 for t in g["text"]]
-        rows = {"a": [], "b": [], "jaccard": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i]) + len(sets[j]) - inter
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    rows["a"].append(int(ids[i]))
-                    rows["b"].append(int(ids[j]))
-                    rows["jaccard"].append(float(np.floor(jac * 1e6 + 0.5) / 1e6))
-        return pd.DataFrame({"a": pd.Series(rows["a"], dtype="int64"),
-                             "b": pd.Series(rows["b"], dtype="int64"),
-                             "jaccard": pd.Series(rows["jaccard"], dtype="float64")})
+        return g["doc_id"].to_numpy(), sets
 
-    return docs.groupby("source").map_groups(pairs, batch_format="pandas")
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids, sets = prep(g)
+        return _jaccard_pair_frame(ids, sets, ids, sets, True, threshold)
+
+    def cross(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        ids_a, sets_a = prep(a)
+        ids_b, sets_b = prep(b)
+        return _jaccard_pair_frame(ids_a, sets_a, ids_b, sets_b, False,
+                                   threshold)
+
+    return _capped_bucket_pairs(docs, "source", "doc_id", pairs, cross,
+                                cap=bucket_cap)
 
 
 Q_JACCARD_PAIRS_SQL = r"""
@@ -535,18 +634,43 @@ SELECT lang, rank, doc_id, text_md5 FROM (
 """
 
 
-def q_dup_clusters(sf_dir: str, threshold: float = 0.4):
+DUP_CLUSTER_PAIR_CAP = int(os.environ.get("GRAFT_DUP_CLUSTER_PAIR_CAP",
+                                          "2000000"))
+
+
+def q_dup_clusters(sf_dir: str, threshold: float = 0.4,
+                   pair_cap: int = None):
     """Near-dup clusters: connected components over the embedding-cosine
     dup-pair graph, labeled by min vec_id; returns every non-singleton
     member with its canonical id.
 
-    The pair set is the SMALL side (output of the bucketed pair mining) —
-    union-find runs on the driver over collected pairs (same broadcast
-    budget as the joins); membership labeling is a map over the pair rows.
-    The SQL oracle reaches the same fixpoint via a recursive CTE
-    propagating min labels along edges."""
+    The pair set is usually the SMALL side (output of the bucketed pair
+    mining), so the fast path collects it under ``pair_cap`` and runs
+    driver union-find. A duplicate-heavy corpus — the exact case dedup
+    exists for — can make the pair list O(corpus); above the cap this cuts
+    over to distributed min-label propagation over the edge Dataset
+    (``_dup_clusters_distributed``), the same fixpoint the SQL oracle's
+    recursive CTE reaches. Both paths produce identical output."""
+    if pair_cap is None:
+        pair_cap = DUP_CLUSTER_PAIR_CAP
     res = q_embed_dup_pairs(sf_dir, threshold)
-    pairs = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if hasattr(res, "iter_batches"):        # Dataset: cap-guarded collect
+        chunks: list = []
+        n = 0
+        over = False
+        for bt in res.iter_batches(batch_format="pyarrow"):
+            chunks.append(bt.select(["a", "b"]))
+            n += bt.num_rows
+            if n > pair_cap:
+                over = True
+                break
+        if over:
+            return _dup_clusters_distributed(
+                res.select_columns(["a", "b"]))
+        pairs = (pa.concat_tables(chunks).to_pandas() if chunks
+                 else pd.DataFrame({"a": [], "b": []}))
+    else:
+        pairs = res
 
     parent: dict = {}
 
@@ -573,6 +697,85 @@ def q_dup_clusters(sf_dir: str, threshold: float = 0.4):
     })
 
 
+def _dup_clusters_distributed(pairs_ds, max_rounds: int = 64):
+    """Scale path for connected components: min-label propagation over the
+    edge Dataset until fixpoint. Per round: labels join the (bidirectional
+    + self-loop) edges on src, a sharded min-aggregate per dst produces the
+    next labels, and a join against the previous labels counts changes.
+    Converges in O(component diameter) rounds — duplicate clusters are
+    dense blobs, so a handful in practice; ``max_rounds`` is a safety rail.
+    No driver-side collection at any point beyond the per-round changed
+    count (a scalar)."""
+    import ray
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    N_SHARDS = 64
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b, a, b])
+        dst = np.concatenate([b, a, a, b])   # both directions + self-loops
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = pairs_ds.map_batches(to_edges,
+                                 batch_format="pyarrow").materialize()
+
+    def vert_shard(v: np.ndarray) -> np.ndarray:
+        return ((v.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(40)).astype(np.int64) % N_SHARDS
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        v = np.unique(t["src"].to_numpy(zero_copy_only=False))
+        return pa.table({"shard": pa.array(vert_shard(v)),
+                         "src": pa.array(v), "lbl": pa.array(v)})
+
+    def dedup_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("src", sort=False)["lbl"].min().reset_index())
+        out["src"] = out["src"].astype("int64")
+        out["lbl"] = out["lbl"].astype("int64")
+        return out[["src", "lbl"]]
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("shard").map_groups(dedup_min, batch_format="pandas")
+              .materialize())
+
+    for _ in range(max_rounds):
+        joined = edges.join(labels, join_type="inner",
+                            num_partitions=n_parts, on=("src",))
+
+        def relabel(t: pa.Table) -> pa.Table:
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            return pa.table({"shard": pa.array(vert_shard(dst)),
+                             "src": t["dst"], "lbl": t["lbl"]})
+
+        new_labels = (joined.map_batches(relabel, batch_format="pyarrow")
+                      .groupby("shard")
+                      .map_groups(dedup_min, batch_format="pandas")
+                      .materialize())
+        def count_changed(t: pa.Table) -> pa.Table:
+            lbl = t["lbl"].to_numpy(zero_copy_only=False)
+            old = t["lbl_old"].to_numpy(zero_copy_only=False)
+            return pa.table({"n": pa.array([int((lbl != old).sum())],
+                                           pa.int64())})
+
+        changed = (new_labels.join(labels, join_type="inner",
+                                   num_partitions=n_parts, on=("src",),
+                                   right_suffix="_old")
+                   .map_batches(count_changed, batch_format="pyarrow")
+                   .sum("n")) or 0
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("dup-cluster label propagation did not converge")
+
+    df = labels.to_pandas().rename(columns={"src": "vec_id",
+                                            "lbl": "cluster_id"})
+    df = df.sort_values("vec_id").reset_index(drop=True)
+    return pd.DataFrame({"vec_id": df["vec_id"].astype("int64"),
+                         "cluster_id": df["cluster_id"].astype("int64")})
+
+
 def _dup_clusters_sql() -> str:
     # built lazily: Q_EMBED_DUP_SQL is defined further down the module
     return f"""
@@ -590,10 +793,12 @@ FROM reach GROUP BY v
 """
 
 
-def q_jaccard_bigram_pairs(sf_dir: str, threshold: float = 0.25):  # noqa: E303
+def q_jaccard_bigram_pairs(sf_dir: str, threshold: float = 0.25,
+                           bucket_cap: int = None):  # noqa: E303
     """Near-dup pairs by word-BIGRAM-set Jaccard within each ``source``
     bucket (the n>1 n-gram variant of q_jaccard_pairs; n-grams are far more
-    discriminative than unigrams, so the threshold sits lower)."""
+    discriminative than unigrams, so the threshold sits lower). Oversized
+    buckets triangle-block-decompose like q_jaccard_pairs."""
     docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def bigrams(s: str) -> frozenset:
@@ -603,26 +808,22 @@ def q_jaccard_bigram_pairs(sf_dir: str, threshold: float = 0.25):  # noqa: E303
         return frozenset(f"{toks[i]} {toks[i + 1]}"
                          for i in range(len(toks) - 1))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def prep(g: pd.DataFrame):
         g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sets = [bigrams(t) for t in g["text"]]
-        rows = {"a": [], "b": [], "jaccard": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i]) + len(sets[j]) - inter
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    rows["a"].append(int(ids[i]))
-                    rows["b"].append(int(ids[j]))
-                    rows["jaccard"].append(float(np.floor(jac * 1e6 + 0.5) / 1e6))
-        return pd.DataFrame({"a": pd.Series(rows["a"], dtype="int64"),
-                             "b": pd.Series(rows["b"], dtype="int64"),
-                             "jaccard": pd.Series(rows["jaccard"],
-                                                  dtype="float64")})
+        return g["doc_id"].to_numpy(), [bigrams(t) for t in g["text"]]
 
-    return docs.groupby("source").map_groups(pairs, batch_format="pandas")
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids, sets = prep(g)
+        return _jaccard_pair_frame(ids, sets, ids, sets, True, threshold)
+
+    def cross(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        ids_a, sets_a = prep(a)
+        ids_b, sets_b = prep(b)
+        return _jaccard_pair_frame(ids_a, sets_a, ids_b, sets_b, False,
+                                   threshold)
+
+    return _capped_bucket_pairs(docs, "source", "doc_id", pairs, cross,
+                                cap=bucket_cap)
 
 
 Q_JACCARD_BIGRAM_SQL = rf"""
@@ -1116,31 +1317,52 @@ LIMIT 10
 """
 
 
-def q_embed_dup_pairs(sf_dir: str, threshold: float = 0.4):
-    """Embedding-cosine near-dup pairs within each label bucket."""
+def q_embed_dup_pairs(sf_dir: str, threshold: float = 0.4,
+                      bucket_cap: int = None):
+    """Embedding-cosine near-dup pairs within each label bucket (oversized
+    buckets triangle-block-decompose — see ``_capped_bucket_pairs``)."""
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def prep(g: pd.DataFrame):
         g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        E = np.array(g["embedding"].tolist(), dtype=np.float32).astype(np.float64)
+        E = np.array(g["embedding"].tolist(),
+                     dtype=np.float32).astype(np.float64)
         norms = np.sqrt(np.einsum("ij,ij->i", E, E))
-        S = (E @ E.T) / np.outer(norms, norms)
+        return g["vec_id"].to_numpy(), E, norms, int(g["label"].iloc[0])
+
+    def emit(ids_a, ea, norms_a, ids_b, eb, norms_b, label,
+             same) -> pd.DataFrame:
+        # dot / (|a|·|b|) — the same op order as the SQL oracle's
+        # SUM(x*y)/(SQRT(SUM(x*x))*SQRT(SUM(y*y))); do NOT pre-normalize
+        # rows (different rounding could flip the 1e-6 truncation)
+        S = (ea @ eb.T) / np.outer(norms_a, norms_b)
         out = {"label": [], "a": [], "b": [], "cos": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
+        for i in range(len(ids_a)):
+            start = i + 1 if same else 0
+            for j in range(start, len(ids_b)):
                 c = np.floor(S[i, j] * 1e6 + 0.5) / 1e6
                 if c >= threshold:
-                    out["label"].append(int(g["label"].iloc[0]))
-                    out["a"].append(int(ids[i]))
-                    out["b"].append(int(ids[j]))
+                    x, y = int(ids_a[i]), int(ids_b[j])
+                    out["label"].append(label)
+                    out["a"].append(min(x, y))
+                    out["b"].append(max(x, y))
                     out["cos"].append(float(c))
         return pd.DataFrame({"label": pd.Series(out["label"], dtype="int32"),
                              "a": pd.Series(out["a"], dtype="int64"),
                              "b": pd.Series(out["b"], dtype="int64"),
                              "cos": pd.Series(out["cos"], dtype="float64")})
 
-    return emb.groupby("label").map_groups(pairs, batch_format="pandas")
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids, E, norms, label = prep(g)
+        return emit(ids, E, norms, ids, E, norms, label, True)
+
+    def cross(a: pd.DataFrame, b: pd.DataFrame) -> pd.DataFrame:
+        ids_a, ea, norms_a, label = prep(a)
+        ids_b, eb, norms_b, _ = prep(b)
+        return emit(ids_a, ea, norms_a, ids_b, eb, norms_b, label, False)
+
+    return _capped_bucket_pairs(emb, "label", "vec_id", pairs, cross,
+                                cap=bucket_cap)
 
 
 Q_EMBED_DUP_SQL = """

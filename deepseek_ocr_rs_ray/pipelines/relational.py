@@ -19,6 +19,8 @@ Arrow table whose column names match the paired oracle SQL exactly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -983,16 +985,27 @@ SELECT c_mktsegment, rank, o_orderkey, total_cents FROM (
 # semi / anti join via broadcast key set (the guide's no-shuffle pattern)
 # ---------------------------------------------------------------------------
 
-def q_customers_semi_anti(sf_dir: str):
+SEMI_ANTI_KEY_CAP = int(os.environ.get("GRAFT_SEMI_ANTI_KEY_CAP",
+                                       "5000000"))
+
+
+def q_customers_semi_anti(sf_dir: str, broadcast_cap: int = None):
     """Customers with vs without orders: broadcast-key-set semi/anti join.
 
     The distinct o_custkey set is computed RAY-SIDE (per-batch np.unique
     compaction → 64-way hash-shard groupby → per-shard unique), so the
     driver only ever collects the already-distinct, dimension-sized key
     set for the ray.put broadcast — it never streams fact-table batches
-    (VERDICT r01: driver OOM at 10^12 orders)."""
+    (VERDICT r01: driver OOM at 10^12 orders). The collection itself is
+    cap-guarded (the same broadcast_cap → distributed-cutover discipline
+    as q3/q5/minhash): past ``broadcast_cap`` keys the broadcast is
+    abandoned for a hash-partitioned left-outer ``Dataset.join`` of
+    customer against the marked distinct-key Dataset — no driver-side key
+    set at any cardinality."""
     import ray
     from ray.data.aggregate import Count
+    if broadcast_cap is None:
+        broadcast_cap = SEMI_ANTI_KEY_CAP
     orders = read_table(sf_dir, "orders", ["o_custkey"])
 
     N_SHARDS = 64
@@ -1009,12 +1022,41 @@ def q_customers_semi_anti(sf_dir: str):
     distinct = (orders.map_batches(batch_unique, batch_format="pyarrow")
                       .groupby("shard")
                       .map_groups(shard_unique, batch_format="pandas"))
-    parts = [b["o_custkey"].to_numpy(zero_copy_only=False)
-             for b in distinct.iter_batches(batch_format="pyarrow")]
-    keys_ref = ray.put(np.sort(np.concatenate(parts))
-                       if parts else np.array([], dtype=np.int64))
 
     cust = read_table(sf_dir, "customer", ["c_custkey"])
+
+    parts = []
+    n_keys = 0
+    over = False
+    for b in distinct.iter_batches(batch_format="pyarrow"):
+        parts.append(b["o_custkey"].to_numpy(zero_copy_only=False))
+        n_keys += b.num_rows
+        if n_keys > broadcast_cap:
+            over = True
+            break
+
+    if over:
+        # distributed cutover: mark the distinct keys, left-outer join
+        def mark(t: pa.Table) -> pa.Table:
+            return pa.table({"c_custkey": t["o_custkey"],
+                             "has": pa.array(
+                                 np.ones(t.num_rows, dtype=bool))})
+
+        marked = distinct.map_batches(mark, batch_format="pyarrow")
+        n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        joined = cust.join(marked, join_type="left_outer",
+                           num_partitions=n_parts, on=("c_custkey",))
+
+        def classify_joined(t: pa.Table) -> pa.Table:
+            has = pc.fill_null(t["has"], False)
+            return pa.table({"has_orders": has})
+
+        return (joined.map_batches(classify_joined, batch_format="pyarrow")
+                      .groupby("has_orders")
+                      .aggregate(Count(alias_name="n_customers")))
+
+    keys_ref = ray.put(np.sort(np.concatenate(parts))
+                       if parts else np.array([], dtype=np.int64))
 
     def classify(t: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)

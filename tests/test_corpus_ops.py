@@ -183,3 +183,23 @@ def test_langid_pipeline_deterministic_and_plausible(ray_session):
     # fixture docs are English-ish word salads: the heuristic should lean en
     counts = a["lang_pred"].value_counts(normalize=True)
     assert counts.get("en", 0) > 0.5
+
+
+def _canon_pairs(df):
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df[sorted(df.columns)]
+
+
+@pytest.mark.parametrize("qfn,kwargs", [
+    (C.q_jaccard_pairs, {}),
+    (C.q_jaccard_bigram_pairs, {}),
+    (C.q_embed_dup_pairs, {}),
+])
+def test_capped_bucket_pairs_blocked_equals_plain(ray_session, qfn, kwargs):
+    """Forcing the triangle-block decomposition (tiny bucket_cap) must
+    produce the exact same pair set as the plain single-task bucket path —
+    every unordered pair covered exactly once, identical float values."""
+    plain = _canon_pairs(qfn(SF, bucket_cap=10**9, **kwargs).to_pandas())
+    blocked = _canon_pairs(qfn(SF, bucket_cap=13, **kwargs).to_pandas())
+    assert len(plain) > 0
+    assert plain.equals(blocked)
