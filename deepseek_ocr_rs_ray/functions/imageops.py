@@ -66,6 +66,7 @@ def _bicubic_kernel(x: np.ndarray) -> np.ndarray:
     return out
 
 
+@_lru_cache(maxsize=256)
 def _compute_coeffs(input_size: int, output_size: int):
     """Per-output-index window bounds + 22-bit fixed-point weights.
 
@@ -75,6 +76,8 @@ def _compute_coeffs(input_size: int, output_size: int):
     output indices — identical doubles to the scalar loop (same formulas,
     elementwise ops only).
     Returns (starts[int64 out], lengths[int64 out], coeffs int64 [out, ksize]).
+    Cached per (in, out) size pair — callers treat the arrays as read-only
+    (every use is a fancy-index or astype copy). ~2 ms/page on dense scans.
     """
     scale = input_size / output_size
     filterscale = max(scale, 1.0)

@@ -64,6 +64,8 @@ def _gen_font() -> np.ndarray:
 
 FONT = _gen_font()          # (V-3, 7, 5)
 _FONT_FLAT = FONT.reshape(len(CHARSET), -1).astype(np.int32)
+_FONT_F32 = _FONT_FLAT.astype(np.float32)
+_FONT_F32_INK = _FONT_F32.sum(axis=1)
 _BLANK = np.zeros((GLYPH_H, GLYPH_W), dtype=np.uint8)
 
 
@@ -251,18 +253,29 @@ def _sample_patterns_resized(img: np.ndarray, new_w: int, new_h: int,
     pos = np.searchsorted(rows_needed, idx_y)                    # (Y, ky)
 
     # float64 math is exact here (all values integers < 2^53) and ~10x
-    # faster than int64 einsum; gather uint8 first, convert only the
-    # gathered windows
+    # faster than int64 einsum. k-term fused gather-accumulate (same shape
+    # as _resample_axis1) — no (R, X, kx) 3D temp, each term is a 2-D
+    # uint8 gather multiplied in place.
     src = img[rows_needed][:, :, 0]                              # (R, w) uint8
-    gathered = src[:, idx_x].astype(np.float64)                  # (R, X, kx)
-    acc = np.einsum("rxk,xk->rx", gathered,
-                    sx_co[ux].astype(np.float64)).astype(np.int64)
+    cox = sx_co[ux].astype(np.float64)                           # (X, kx)
+    acc_f = np.zeros((src.shape[0], ux.shape[0]), dtype=np.float64)
+    for k in range(kx):
+        ck = cox[:, k]
+        if not ck.any():
+            continue
+        acc_f += src[:, idx_x[:, k]] * ck[None, :]
+    acc = acc_f.astype(np.int64)
     acc += ROUNDING_BIAS
     hv = np.clip(acc >> PRECISION_BITS, 0, 255)                  # (R, X)
 
-    g2 = hv[pos].astype(np.float64)                              # (Y, ky, X)
-    acc2 = np.einsum("ykx,yk->yx", g2,
-                     sy_co[uy].astype(np.float64)).astype(np.int64)
+    coy = sy_co[uy].astype(np.float64)                           # (Y, ky)
+    acc2_f = np.zeros((uy.shape[0], ux.shape[0]), dtype=np.float64)
+    for k in range(ky):
+        ck = coy[:, k]
+        if not ck.any():
+            continue
+        acc2_f += hv[pos[:, k]] * ck[:, None]
+    acc2 = acc2_f.astype(np.int64)
     acc2 += ROUNDING_BIAS
     cv = np.clip(acc2 >> PRECISION_BITS, 0, 255)                 # (Y, X)
 
@@ -280,15 +293,18 @@ def all_cell_logits(patterns: np.ndarray) -> np.ndarray:
     memory traffic on wide scans — same integers, ~10x less allocation.
     """
     rows, cols = patterns.shape[:2]
-    flat = patterns.reshape(rows * cols, -1).astype(np.int32)
+    # float32 throughout: every value is a small integer (<= 70), exact in
+    # f32, and the f32 matmul hits BLAS sgemm (int32 matmul has no BLAS
+    # path — ~10x slower on dense pages).
+    flat = patterns.reshape(rows * cols, -1).astype(np.float32)
     ink = flat.sum(axis=1)
-    font_ink = _FONT_FLAT.sum(axis=1)
-    hamming = ink[:, None] + font_ink[None, :] - 2 * (flat @ _FONT_FLAT.T)
+    hamming = (ink[:, None] + _FONT_F32_INK[None, :]
+               - np.float32(2.0) * (flat @ _FONT_F32.T))
     logits = np.empty((rows * cols, len(VOCAB)), dtype=np.float32)
-    logits[:, EOS_ID] = -ink.astype(np.float32)
+    logits[:, EOS_ID] = -ink
     logits[:, NEWLINE_ID] = -np.inf
-    logits[:, SPACE_ID] = -ink.astype(np.float32) - np.float32(0.125)
-    logits[:, 3:] = -(hamming.astype(np.float32)) - np.float32(0.25)
+    logits[:, SPACE_ID] = -ink - np.float32(0.125)
+    logits[:, 3:] = -hamming - np.float32(0.25)
     return logits.reshape(rows, cols, len(VOCAB))
 
 

@@ -115,6 +115,38 @@ def bpe_ish_token_count(s: str) -> int:
     return len(_BPE_RE.findall(s))
 
 
+# Python-re's \s for str, spelled out as an explicit char set so the RE2
+# engines (pyarrow below, DuckDB in the SQL mirrors) can be handed a class
+# with IDENTICAL semantics — RE2's own \s is ASCII-only and excludes \v.
+# test_cross_engine_fuzz pins this literal against enumerating re.match(r"\s").
+PY_RE_WS = ("\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+            "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+            "\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000")
+_BPE_ISH_PATTERN_RE2 = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9" + PY_RE_WS + "]"
+
+
+def ws_token_counts_arrow(arr):
+    """Vectorized ``ws_token_count`` over a pyarrow string array: a token is
+    a maximal run of chars outside the explicit ASCII-ws set, so counting
+    non-overlapping matches of one run-pattern equals strip+split — parity
+    with the scalar kernel is fuzz-pinned (test_cross_engine_fuzz)."""
+    import pyarrow.compute as pc
+    return pc.count_substring_regex(arr, pattern=r"[^ \t\n\f\r\v]+")
+
+
+def bpe_ish_token_counts_arrow(arr):
+    """Vectorized ``bpe_ish_token_count`` (RE2 gets the Python-\\s-explicit
+    class, so both engines count the same pieces)."""
+    import pyarrow.compute as pc
+    return pc.count_substring_regex(arr, pattern=_BPE_ISH_PATTERN_RE2)
+
+
+def digit_counts_arrow(arr):
+    """Vectorized ``len(_DIGIT_RE.findall(s))``."""
+    import pyarrow.compute as pc
+    return pc.count_substring_regex(arr, pattern="[0-9]")
+
+
 _STOPWORDS = {
     "en": frozenset("the a an and or of to in is are was were be been it this that with for on as at by from not".split()),
     "de": frozenset("der die das und oder von zu in ist sind war waren sein mit für auf als bei aus nicht ein eine".split()),

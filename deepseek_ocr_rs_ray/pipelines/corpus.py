@@ -40,12 +40,14 @@ def q_token_stats(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
+        # fully vectorized: RE2 run-count kernels with fuzz-pinned parity
+        # to the scalar textops kernels (test_cross_engine_fuzz)
+        text = t.column("text")
         return pa.table({
             "doc_id": t["doc_id"],
-            "ws_tokens": pa.array([T.ws_token_count(s) for s in texts], pa.int64()),
-            "bpe_tokens": pa.array([T.bpe_ish_token_count(s) for s in texts], pa.int64()),
-            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+            "ws_tokens": pc.cast(T.ws_token_counts_arrow(text), pa.int64()),
+            "bpe_tokens": pc.cast(T.bpe_ish_token_counts_arrow(text), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -66,13 +68,13 @@ def q_quality_by_lang(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
+        text = t.column("text")
         tmp = pa.table({
             "lang": t["lang"],
-            "chars": pa.array([len(s) for s in texts], pa.int64()),
-            "tokens": pa.array([T.ws_token_count(s) for s in texts], pa.int64()),
-            "digits": pa.array([len(T._DIGIT_RE.findall(s)) for s in texts], pa.int64()),
-            "n": pa.array(np.ones(len(texts), dtype=np.int64)),
+            "chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "tokens": pc.cast(T.ws_token_counts_arrow(text), pa.int64()),
+            "digits": pc.cast(T.digit_counts_arrow(text), pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
         })
         return tmp.group_by("lang").aggregate(
             [("chars", "sum"), ("tokens", "sum"), ("digits", "sum"), ("n", "sum")])
@@ -894,6 +896,52 @@ def minhash_signature(text: str, a: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
+def minhash_signatures_batch(texts, a: np.ndarray,
+                             k: int = SHINGLE_K) -> np.ndarray:
+    """Batched ``minhash_signature``: (n_docs, n_perms) uint64, bit-identical
+    to stacking the per-doc version (parity test in test_corpus_ops).
+
+    All docs' normalized bytes concatenate into one buffer; window hashes
+    are computed in k gathers over the whole buffer (no per-doc numpy-call
+    overhead), and per-doc minima come from segmented ``minimum.reduceat``
+    over the doc boundaries. Duplicate shingles don't need the per-doc
+    ``np.unique`` — the min over a multiset equals the min over its set.
+    """
+    n = len(texts)
+    out = np.full((n, len(a)), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return out
+    bufs = []
+    for t in texts:
+        s = " ".join(t.strip().split()).lower().encode("utf-8")
+        if 0 < len(s) < k:
+            s = s + b"\x00" * (k - len(s))   # the short-doc zero-pad window
+        bufs.append(s)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    counts = np.maximum(lens - k + 1, 0)     # 0 for empty docs
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    # grouped arange: window start positions for every doc at once
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    starts = (np.arange(total, dtype=np.int64)
+              - np.repeat(cum, counts) + np.repeat(offsets, counts))
+    powers = (np.uint64(257) ** np.arange(k, dtype=np.uint64))
+    packed = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        packed += buf[starts + j].astype(np.uint64) * powers[j]
+    mixed = packed * np.uint64(0x9E3779B97F4A7C15)
+    nz = counts > 0
+    seg = cum[nz]
+    # chunk the perm axis so the (total, chunk) temp stays ~tens of MB
+    for p0 in range(0, len(a), 8):
+        vals = mixed[:, None] * a[None, p0:p0 + 8]
+        out[nz, p0:p0 + 8] = np.minimum.reduceat(vals, seg, axis=0)
+    return out
+
+
 MINHASH_PAIR_CAP = 2_000_000
 
 
@@ -921,31 +969,32 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5,
 
     def bands(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        bucket = np.empty(n * LSH_BANDS, dtype=np.uint64)
-        doc = np.empty(n * LSH_BANDS, dtype=np.int64)
-        sig_bytes: list = []
-        band = np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
         mix = np.uint64(0xC2B2AE3D27D4EB4F)
-        for i, (doc_id, text) in enumerate(zip(t["doc_id"].to_pylist(),
-                                               t["text"].to_pylist())):
-            full = minhash_signature(text, a_params)
-            sig = full.reshape(LSH_BANDS, LSH_ROWS)
-            # fold each band's rows into one 64-bit bucket key
-            bk = sig[:, 0]
-            for r in range(1, LSH_ROWS):
-                bk = (bk * mix) ^ sig[:, r]
-            bucket[i * LSH_BANDS:(i + 1) * LSH_BANDS] = bk
-            doc[i * LSH_BANDS:(i + 1) * LSH_BANDS] = doc_id
-            # the full signature rides along (512 B per band row) so the
-            # mining groups can estimate-prefilter pairs without another
-            # corpus pass or any text movement
-            sig_bytes.extend([full.tobytes()] * LSH_BANDS)
+        sigs = minhash_signatures_batch(t["text"].to_pylist(), a_params)
+        sig3 = sigs.reshape(n, LSH_BANDS, LSH_ROWS)
+        # fold each band's rows into one 64-bit bucket key (vectorized over
+        # every (doc, band) at once)
+        bk = sig3[:, :, 0].copy()
+        for r in range(1, LSH_ROWS):
+            bk = (bk * mix) ^ sig3[:, :, r]
+        bucket = bk.reshape(-1)                              # (n*BANDS,)
+        doc = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), LSH_BANDS)
+        band = np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
+        # the full signature rides along (512 B per band row) so the mining
+        # groups can estimate-prefilter pairs without another corpus pass or
+        # any text movement — FixedSizeBinary straight off the repeated
+        # signature matrix, no per-row bytes objects
+        sig_rep = np.ascontiguousarray(np.repeat(sigs, LSH_BANDS, axis=0))
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(sigs.shape[1] * 8), n * LSH_BANDS,
+            [None, pa.py_buffer(sig_rep.tobytes())])
         shard = (bucket & np.uint64(N_SHARDS - 1)).astype(np.int64)
         return pa.table({"shard": pa.array(shard),
                          "band": pa.array(band, pa.int32()),
                          "bucket": pa.array(bucket.view(np.int64)),
                          "doc_id": pa.array(doc, pa.int64()),
-                         "sig": pa.array(sig_bytes, pa.binary())})
+                         "sig": sig_arr})
 
     banded = docs.map_batches(bands, batch_format="pyarrow")
 

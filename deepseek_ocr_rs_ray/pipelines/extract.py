@@ -3,7 +3,10 @@
     read_parquet(pages)                         # url, warc_ts, html, lang
       → map_batches(DomExtract)                 # boilerplate strip, routing,
                                                 #   size-class tagging; html dropped
-      → map_batches(OcrDecode, concurrency=N)   # stateful actor pool, 5% of rows
+      → map_batches(OcrDecode)                  # stateful stage, 5% of rows
+                                                #   (task workers by default,
+                                                #   actor pool via
+                                                #   GRAFT_EXTRACT_MODE=fused)
       → shard sink                              # partitioned parquet + counters
 
 Scale notes (the 100 TB story):
@@ -83,11 +86,35 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
                     num_blocks=nb)
     if size_cuts is None:
         size_cuts = compute_size_cuts(paths, cfg)
+    # Stage-mode knob (A/B measured; BASELINE.md round-3 records the runs):
+    #   tasks (default) — both stages run as ordinary tasks (no actor
+    #     pool): Ray reuses worker processes, so per-worker state (font
+    #     table, compiled regexes, resample-coefficient cache) persists via
+    #     module/instance state exactly like an actor would hold it, but the
+    #     ~3 s pool-spawn cost leaves the cold path AND is not re-paid per
+    #     wave (each wave is its own Dataset execution — an actor-pool
+    #     stage respawns its pool every wave). Measured: cold 20k-page job
+    #     2 179–2 601 docs/s vs 1 521–1 849 fused; 480k steady-state tie
+    #     (14.8k vs 14.5k).
+    #   fused — DOM fuses into the OCR actor pool (one ActorPoolMapOperator
+    #     carries ~all map work). The right shape when per-worker state is
+    #     genuinely heavy (real model weights that must load exactly once
+    #     per process and pin memory) — kept first-class and tested.
+    #   split — DOM runs as unfused tasks over every free CPU (a num_cpus
+    #     request different from the pool's blocks operator fusion), OCR
+    #     stays an actor pool.
+    mode = os.environ.get("GRAFT_EXTRACT_MODE", "tasks")
     dom_kwargs = {}
     if cfg.dom_num_cpus is not None:
         dom_kwargs["num_cpus"] = cfg.dom_num_cpus
+    elif mode == "split":
+        dom_kwargs["num_cpus"] = 0.99
     ds = ds.map_batches(DomExtract(cfg, size_cuts), batch_format="pyarrow",
                         batch_size=cfg.dom_batch_size, **dom_kwargs)
+    if mode == "tasks":
+        ds = ds.map_batches(OcrDecode(cfg), batch_format="pyarrow",
+                            batch_size=cfg.ocr_batch_size)
+        return ds
     conc = ocr_concurrency if ocr_concurrency is not None else cfg.ocr_concurrency
     # Pool sizing: the map stage (DOM+OCR fused into the pool) carries the
     # overwhelming share of the work, so the pool takes every slot except a
@@ -109,6 +136,10 @@ def build_extract_dataset(paths: Sequence[str], cfg: ExtractConfig = ExtractConf
         return ds
     reserve = min(4, max(1, math.ceil(slots * 0.12)))
     cap = max(1, int(slots) - reserve)
+    if mode == "split":
+        # unfused: the pool only carries the OCR share of the work (~26% of
+        # kernel time on the bench mix); DOM tasks take the rest of the node
+        cap = max(1, int(slots * 0.3))
     conc = cap if conc is None else max(1, min(conc, cap))
     # fixed-size pool, NOT an autoscaling (1, conc) range: the autoscaler
     # ramps far too slowly for a throughput job (measured 5.4k vs 9.4k

@@ -27,6 +27,23 @@ def test_minhash_estimates_jaccard():
     assert jaccard_est(s1, s3) < 0.3
 
 
+def test_minhash_signatures_batch_parity():
+    """Batched segmented-reduceat signatures == per-doc kernel, including
+    the edge cases (empty doc, shorter-than-k doc, unicode, duplicates)."""
+    a = C._minhash_params()
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "", "   ", "ab", "abcd",                   # empty / sub-k docs
+        "Hello   WORLD  hello world",              # normalization
+        "héllo wörld ünïcode ça va",               # multibyte utf-8
+        "aaaaa aaaaa aaaaa",                       # duplicate shingles
+        "x" * 5000,
+    ]
+    got = C.minhash_signatures_batch(texts, a)
+    want = np.stack([C.minhash_signature(t, a) for t in texts])
+    assert np.array_equal(got, want)
+
+
 def test_shingle_hashes_deterministic_and_normalized():
     a = C.shingle_hashes("Hello   World")
     b = C.shingle_hashes("hello world")   # case + whitespace collapse

@@ -169,3 +169,35 @@ SELECT w, h FROM (
 """
     got = con.execute(sql, [w, h]).fetchone()
     assert (int(got[0]), int(got[1])) == py, (w, h, py, got)
+
+
+# text domain for the vectorized-kernel parity checks: printable ASCII,
+# every Python-\s whitespace char, multibyte letters, CJK, an astral char
+_WS_EDGE_TEXT = st.text(
+    alphabet=st.sampled_from(
+        [chr(c) for c in range(33, 127)]
+        + list(T.PY_RE_WS) + list("héß中文👍")),
+    max_size=120)
+
+
+def test_py_re_ws_literal_is_exact():
+    """PY_RE_WS == the chars Python-re's \\s actually matches (str mode)."""
+    import re
+    want = {chr(i) for i in range(0x11000) if re.match(r"\s", chr(i))}
+    assert set(T.PY_RE_WS) == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_WS_EDGE_TEXT, max_size=8))
+def test_arrow_count_kernels_match_scalar(texts):
+    """The RE2-vectorized counting kernels (ws tokens, BPE-ish pieces,
+    digits) == the scalar Python-re kernels on arbitrary input, including
+    the \\v / U+0085 / NBSP chars where RE2's own \\s would diverge."""
+    import pyarrow as pa
+    arr = pa.array(texts, pa.string())
+    assert T.ws_token_counts_arrow(arr).to_pylist() == \
+        [T.ws_token_count(s) for s in texts]
+    assert T.bpe_ish_token_counts_arrow(arr).to_pylist() == \
+        [T.bpe_ish_token_count(s) for s in texts]
+    assert T.digit_counts_arrow(arr).to_pylist() == \
+        [len(T._DIGIT_RE.findall(s)) for s in texts]

@@ -59,6 +59,18 @@ def test_dataset_matches_oracle(ray_session, pages_dir, golden):
     assert_matches_golden(ds.to_pandas(), golden)
 
 
+def test_stage_modes_byte_identical(ray_session, pages_dir, golden, monkeypatch):
+    """Every stage-mode (tasks default, fused actor pool, unfused split)
+    produces byte-identical output — the actor-pool path stays first-class
+    and covered even though `tasks` is the measured-default (extract.py
+    mode comment / BASELINE.md round-3 A/B)."""
+    files = sorted(glob.glob(pages_dir + "/*.parquet"))
+    for mode in ("fused", "split"):
+        monkeypatch.setenv("GRAFT_EXTRACT_MODE", mode)
+        ds = build_extract_dataset(files)
+        assert_matches_golden(ds.to_pandas(), golden)
+
+
 def test_partitioning_invariance(ray_session, golden):
     """Different shard layout + batch size → identical bytes."""
     shutil.rmtree(FIXTURE_WIDE, ignore_errors=True)
