@@ -935,10 +935,12 @@ def minhash_signatures_batch(texts, a: np.ndarray,
     mixed = packed * np.uint64(0x9E3779B97F4A7C15)
     nz = counts > 0
     seg = cum[nz]
-    # chunk the perm axis so the (total, chunk) temp stays ~tens of MB
-    for p0 in range(0, len(a), 8):
-        vals = mixed[:, None] * a[None, p0:p0 + 8]
-        out[nz, p0:p0 + 8] = np.minimum.reduceat(vals, seg, axis=0)
+    # one contiguous 1-D reduceat per permutation: a 2-D reduceat over a
+    # (total, chunk) strided view measured 13x slower (its inner loop walks
+    # columns per segment); per-perm the temp is one contiguous (total,)
+    # array and the whole min pass runs at memory bandwidth.
+    for p in range(len(a)):
+        out[nz, p] = np.minimum.reduceat(mixed * a[p], seg)
     return out
 
 
