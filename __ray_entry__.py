@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jaccard_pairs": C.q_jaccard_pairs,
         "q_jaccard_bigram_pairs": C.q_jaccard_bigram_pairs,
         "q_minhash_pairs": C.q_minhash_pairs,
+        "q_minhash_dedup": C.q_minhash_dedup,
         "q_simhash": C.q_simhash,
         # corpus stats / sampling / packing
         "q_top_tokens": C.q_top_tokens,
@@ -153,6 +154,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_jaccard_pairs": C.Q_JACCARD_PAIRS_SQL,
         "q_jaccard_bigram_pairs": C.Q_JACCARD_BIGRAM_SQL,
         "q_minhash_pairs": C.minhash_pairs_sql(sf_dir),
+        "q_minhash_dedup": C.minhash_dedup_sql(sf_dir),
         "q_knn_cosine": C.Q_KNN_SQL,
         "q_embed_dup_pairs": C.Q_EMBED_DUP_SQL,
         "q_dup_clusters": C._dup_clusters_sql(),

@@ -674,6 +674,19 @@ def q_dup_clusters(sf_dir: str, threshold: float = 0.4,
     else:
         pairs = res
 
+    labels = _union_find_labels(pairs)
+    members = sorted(labels)
+    return pd.DataFrame({
+        "vec_id": pd.Series(members, dtype="int64"),
+        "cluster_id": pd.Series([labels[m] for m in members],
+                                dtype="int64"),
+    })
+
+
+def _union_find_labels(pairs) -> dict:
+    """Min-id connected-component label per member of the pair graph
+    (path-halving union-find; O(pairs · α)). ``pairs`` is any mapping with
+    ``a``/``b`` integer columns."""
     parent: dict = {}
 
     def find(x: int) -> int:
@@ -682,21 +695,14 @@ def q_dup_clusters(sf_dir: str, threshold: float = 0.4,
             x = parent[x]
         return x
 
-    def union(x: int, y: int) -> None:
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            lo, hi = (rx, ry) if rx < ry else (ry, rx)
-            parent[hi] = lo
-
     for a, b in zip(pairs["a"], pairs["b"]):
-        parent.setdefault(int(a), int(a))
-        parent.setdefault(int(b), int(b))
-        union(int(a), int(b))
-    members = sorted(parent)
-    return pd.DataFrame({
-        "vec_id": pd.Series(members, dtype="int64"),
-        "cluster_id": pd.Series([find(m) for m in members], dtype="int64"),
-    })
+        ra, rb = find(int(a)), find(int(b))
+        parent.setdefault(ra, ra)
+        parent.setdefault(rb, rb)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {m: find(m) for m in parent}
 
 
 def _dup_clusters_distributed(pairs_ds, max_rounds: int = 64):
@@ -1085,6 +1091,75 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5,
             docs, sorted(pair_set), a_params, threshold, _pshard,
             verify_pairs)
     return survivors.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_minhash_dedup(sf_dir: str, threshold: float = 0.5):
+    """End-to-end near-dup DEDUP, keep-first (the D4 semantics at corpus
+    scale, driven by MinHash+LSH instead of exact hashes): every document
+    maps to the min doc_id of its connected component in the verified-pair
+    graph; ``keep=1`` marks the canonical (kept) member, so filtering on
+    ``keep`` IS the deduped corpus.
+
+    Composition — each piece keeps its own scale guarantee:
+      q_minhash_pairs   banding shuffles only (shard, band, bucket, doc_id,
+                        sig) triples; cap-guarded verify with join cutover
+      union-find        O(verified pairs · α) on the driver — the pair list
+                        is the SMALL side (O(dup rate), not O(corpus));
+                        above DUP_CLUSTER_PAIR_CAP the right scale path is
+                        _dup_clusters_distributed (min-label propagation),
+                        as in q_dup_clusters
+      labeling          the doc→canonical map (dups only) broadcasts once
+                        via ray.put; one streaming map over the corpus
+                        attaches canonical_id — the documents table itself
+                        is never shuffled or collected.
+    """
+    import ray
+    pairs = q_minhash_pairs(sf_dir, threshold)
+    if len(pairs) > DUP_CLUSTER_PAIR_CAP:      # safety rail (see docstring)
+        raise ValueError(
+            f"verified pair list ({len(pairs)}) exceeds DUP_CLUSTER_PAIR_CAP"
+            " — route through _dup_clusters_distributed for this corpus")
+    labels = _union_find_labels(pairs)
+    canon_ref = ray.put(labels)
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def label(t: pa.Table) -> pa.Table:
+        m = ray.get(canon_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        can = np.array([m.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "canonical_id": pa.array(can),
+            "keep": pa.array((can == ids).astype(np.int64)),
+        })
+
+    return docs.map_batches(label, batch_format="pyarrow")
+
+
+def minhash_dedup_sql(sf_dir: str) -> str:
+    """Recursive-CTE mirror: min-reachable-id per member of the expected
+    pair graph (the naive-port LSH pairs the q_minhash_pairs oracle gates),
+    LEFT-joined to the corpus so singletons keep themselves."""
+    return f"""
+WITH RECURSIVE dup AS (
+  SELECT a, b FROM read_parquet(
+    '{aux_dir_for(sf_dir)}/minhash_pairs_expected.parquet')
+), edges AS (
+  SELECT a, b FROM dup UNION SELECT b AS a, a AS b FROM dup
+), reach AS (
+  SELECT a AS v, b AS u FROM edges
+  UNION
+  SELECT r.v, e.b AS u FROM reach r JOIN edges e ON e.a = r.u
+), canon AS (
+  SELECT v AS doc_id, CAST(LEAST(v, MIN(u)) AS BIGINT) AS canonical_id
+  FROM reach GROUP BY v
+)
+SELECT d.doc_id,
+       COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+       CAST(CASE WHEN COALESCE(c.canonical_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN canon c ON c.doc_id = d.doc_id
+"""
 
 
 # banding at (16 bands × 4 rows) has a shallow S-curve: on a corpus whose

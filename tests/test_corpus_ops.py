@@ -145,6 +145,19 @@ def test_minhash_near_threshold_naive_parity(ray_session, tmp_path):
         assert inter / (ha.size + hb.size - inter) >= 0.5
     # recall: well-above-threshold pairs must all survive margin + banding
     assert strong and strong.issubset(found)
+    # q_minhash_dedup composes these pairs into keep-first components:
+    # every verified pair shares a canonical id, canonicals are component
+    # minima, keep == (doc == canonical), and non-dup docs keep themselves
+    ded = C.q_minhash_dedup(sf, threshold=0.5).to_pandas()
+    canon = dict(zip(ded["doc_id"], ded["canonical_id"]))
+    assert set(ded["doc_id"]) == set(ids)
+    for a, b in found:
+        assert canon[a] == canon[b] <= min(a, b)
+    assert (ded["keep"] == (ded["doc_id"] == ded["canonical_id"])
+            .astype("int64")).all()
+    paired = {d for p in found for d in p}
+    solo = ded[~ded["doc_id"].isin(paired)]
+    assert (solo["doc_id"] == solo["canonical_id"]).all()
 
 
 def test_ann_ivf_recall(ray_session):
