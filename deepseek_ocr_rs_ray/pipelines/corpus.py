@@ -967,8 +967,9 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5,
     Dataset.join of the exploded pair sides against the corpus.
     """
     import ray
-    _write_aux_table(_expected_minhash_pairs(sf_dir, threshold),
-                     "minhash_pairs_expected.parquet", sf_dir)
+    _ensure_aux("minhash_pairs_expected.parquet", sf_dir,
+                lambda: _expected_minhash_pairs(sf_dir, threshold),
+                extra=f"t={threshold}")
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     a_params = _minhash_params()
     N_SHARDS = 256  # shuffle key: hash-shard of the bucket, NOT the bucket
@@ -1771,20 +1772,24 @@ def extract_pages_sql(sf_dir: str) -> str:
 
 def _write_expected_extract(sf_dir: str) -> None:
     """Publish the oracle extractor's per-url golden rows (the byte-identity
-    contract) for the driver gate to hash against the Ray pipeline."""
-    from ..stages.dom import size_class_of
-    pages, golden, cuts = _oracle_golden(sf_dir)
-    html_lens = [len(h) for h in pages.column("html").to_pylist()]
-    t = pa.table({
-        "url": golden.column("url"),
-        "extracted_text": golden.column("extracted_text"),
-        "method": golden.column("method"),
-        "n_tiles": golden.column("n_tiles"),
-        "size_class": pa.array([size_class_of(L, cuts) for L in html_lens],
-                               pa.int32()),
-        "html_bytes": pa.array(html_lens, pa.int64()),
-    })
-    _write_aux_table(t, "extract_expected.parquet", sf_dir)
+    contract) for the driver gate to hash against the Ray pipeline.
+    Stamp-skipped: the oracle extractor is the expensive naive port."""
+
+    def build() -> pa.Table:
+        from ..stages.dom import size_class_of
+        pages, golden, cuts = _oracle_golden(sf_dir)
+        html_lens = [len(h) for h in pages.column("html").to_pylist()]
+        return pa.table({
+            "url": golden.column("url"),
+            "extracted_text": golden.column("extracted_text"),
+            "method": golden.column("method"),
+            "n_tiles": golden.column("n_tiles"),
+            "size_class": pa.array([size_class_of(L, cuts)
+                                    for L in html_lens], pa.int32()),
+            "html_bytes": pa.array(html_lens, pa.int64()),
+        })
+
+    _ensure_aux("extract_expected.parquet", sf_dir, build)
 
 
 def x_extract_pages(sf_dir: str):
@@ -1872,6 +1877,33 @@ def _write_aux_table(t: pa.Table, name: str, sf_dir: str) -> None:
     os.replace(path + ".tmp", path)
 
 
+def _ensure_aux(name: str, sf_dir: str, builder, extra: str = "") -> None:
+    """Build+publish one aux table only when stale, keyed by a per-file
+    stamp (code stamp + ``extra`` for builder parameters). The per-query
+    aux rewrites exist so the SQL oracle always matches the code that just
+    ran — but the builders are single-process naive ports (2.5 s for the
+    minhash pairs, tens of seconds for the oracle extractor at sf0.1), so
+    an unconditional rebuild on every query call taxes benchmarks and warm
+    gates. Deterministic builders ⇒ unchanged code ⇒ byte-identical aux,
+    so the stamp skip is exact. Concurrent rebuilds are safe (atomic
+    same-content publishes)."""
+    import os
+    stamp = _aux_code_stamp() + (":" + extra if extra else "")
+    d = aux_dir_for(sf_dir)
+    spath = os.path.join(d, name + ".stamp")
+    if os.path.exists(os.path.join(d, name)):
+        try:
+            with open(spath) as f:
+                if f.read() == stamp:
+                    return
+        except OSError:
+            pass
+    _write_aux_table(builder(), name, sf_dir)
+    with open(spath + ".tmp", "w") as f:
+        f.write(stamp)
+    os.replace(spath + ".tmp", spath)
+
+
 def payload_meta_sql(sf_dir: str) -> str:
     return (f"SELECT url, width, height, glyph_scale, nbytes "
             f"FROM read_parquet('{aux_dir_for(sf_dir)}/payload_meta_expected.parquet')")
@@ -1891,14 +1923,18 @@ def _ocr_payload_metas(sf_dir: str) -> list:
 
 
 def _ensure_payload_meta_aux(sf_dir: str) -> None:
-    metas = _ocr_payload_metas(sf_dir)
-    _write_aux_table(pa.table({
-        "url": pa.array([m["url"] for m in metas], pa.string()),
-        "width": pa.array([m["width"] for m in metas], pa.int64()),
-        "height": pa.array([m["height"] for m in metas], pa.int64()),
-        "glyph_scale": pa.array([m["glyph_scale"] for m in metas], pa.int64()),
-        "nbytes": pa.array([m["nbytes"] for m in metas], pa.int64()),
-    }), "payload_meta_expected.parquet", sf_dir)
+    def build() -> pa.Table:
+        metas = _ocr_payload_metas(sf_dir)
+        return pa.table({
+            "url": pa.array([m["url"] for m in metas], pa.string()),
+            "width": pa.array([m["width"] for m in metas], pa.int64()),
+            "height": pa.array([m["height"] for m in metas], pa.int64()),
+            "glyph_scale": pa.array([m["glyph_scale"] for m in metas],
+                                    pa.int64()),
+            "nbytes": pa.array([m["nbytes"] for m in metas], pa.int64()),
+        })
+
+    _ensure_aux("payload_meta_expected.parquet", sf_dir, build)
 
 
 def x_payload_meta(sf_dir: str):
@@ -1978,35 +2014,39 @@ def _write_expected_thumbnails(sf_dir: str) -> None:
     """Single-process expected thumbnails straight from the GENERATOR's
     payload bytes (no DOM walk): decode → bicubic 64px → re-encode. The
     bicubic kernel's independence is covered by the naive-port parity
-    pytest; this table pins the distributed stage's end-to-end bytes."""
-    import hashlib as _hl
+    pytest; this table pins the distributed stage's end-to-end bytes.
+    Stamp-skipped (per-payload decode+resize is the cost)."""
 
-    from ..functions.imageops import resize_bicubic
-    from ..functions.raster import decode_payload, encode_payload
-    n = pages_rows_for(sf_dir)
-    if n in _THUMBS_CACHE:
-        _write_aux_table(_THUMBS_CACHE[n], "thumbs_expected.parquet", sf_dir)
-        return
-    rows = {"url": [], "thumb_md5": [], "thumb_bytes": [],
-            "orig_width": [], "orig_height": []}
-    for meta in _ocr_payload_metas(sf_dir):
-        img, scale, margin = decode_payload(meta["payload"])
-        small = resize_bicubic(img, 64, 64)
-        thumb = encode_payload(small, scale, margin)
-        rows["url"].append(meta["url"])
-        rows["thumb_md5"].append(_hl.md5(thumb).hexdigest())
-        rows["thumb_bytes"].append(len(thumb))
-        rows["orig_width"].append(img.shape[1])
-        rows["orig_height"].append(img.shape[0])
-    t = pa.table({
-        "url": pa.array(rows["url"], pa.string()),
-        "thumb_md5": pa.array(rows["thumb_md5"], pa.string()),
-        "thumb_bytes": pa.array(rows["thumb_bytes"], pa.int64()),
-        "orig_width": pa.array(rows["orig_width"], pa.int64()),
-        "orig_height": pa.array(rows["orig_height"], pa.int64()),
-    })
-    _THUMBS_CACHE[n] = t
-    _write_aux_table(t, "thumbs_expected.parquet", sf_dir)
+    def build() -> pa.Table:
+        import hashlib as _hl
+
+        from ..functions.imageops import resize_bicubic
+        from ..functions.raster import decode_payload, encode_payload
+        n = pages_rows_for(sf_dir)
+        if n in _THUMBS_CACHE:
+            return _THUMBS_CACHE[n]
+        rows = {"url": [], "thumb_md5": [], "thumb_bytes": [],
+                "orig_width": [], "orig_height": []}
+        for meta in _ocr_payload_metas(sf_dir):
+            img, scale, margin = decode_payload(meta["payload"])
+            small = resize_bicubic(img, 64, 64)
+            thumb = encode_payload(small, scale, margin)
+            rows["url"].append(meta["url"])
+            rows["thumb_md5"].append(_hl.md5(thumb).hexdigest())
+            rows["thumb_bytes"].append(len(thumb))
+            rows["orig_width"].append(img.shape[1])
+            rows["orig_height"].append(img.shape[0])
+        t = pa.table({
+            "url": pa.array(rows["url"], pa.string()),
+            "thumb_md5": pa.array(rows["thumb_md5"], pa.string()),
+            "thumb_bytes": pa.array(rows["thumb_bytes"], pa.int64()),
+            "orig_width": pa.array(rows["orig_width"], pa.int64()),
+            "orig_height": pa.array(rows["orig_height"], pa.int64()),
+        })
+        _THUMBS_CACHE[n] = t
+        return t
+
+    _ensure_aux("thumbs_expected.parquet", sf_dir, build)
 
 
 def x_image_thumbnails(sf_dir: str):
@@ -2109,8 +2149,8 @@ def x_image_features(sf_dir: str):
     (SQL-oracled via float32-byte fingerprints vs the generator-side
     expected vectors)."""
     from ..stages.multimodal import ImageFeatureStage
-    ft, _ = _expected_features_frames(sf_dir)
-    _write_aux_table(ft, "features_expected.parquet", sf_dir)
+    _ensure_aux("features_expected.parquet", sf_dir,
+                lambda: _expected_features_frames(sf_dir)[0])
     ds = _payload_dataset(sf_dir)
     feats = ds.map_batches(ImageFeatureStage, batch_format="pyarrow",
                            batch_size=32, concurrency=2)
@@ -2121,8 +2161,8 @@ def x_frame_samples(sf_dir: str):
     """Multimodal frame-sample stage (deterministic raw2 clip fake;
     SQL-oracled via per-frame feature fingerprints)."""
     from ..stages.multimodal import FrameSampleStage
-    _, rt = _expected_features_frames(sf_dir)
-    _write_aux_table(rt, "frames_expected.parquet", sf_dir)
+    _ensure_aux("frames_expected.parquet", sf_dir,
+                lambda: _expected_features_frames(sf_dir)[1])
     ds = _payload_dataset(sf_dir)
     frames = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
                             fn_constructor_kwargs={"frame_h": 64, "stride": 2},
@@ -2438,8 +2478,8 @@ def x_extract_manifest(sf_dir: str):
     d = _pages_dir_for(sf_dir)
     out = d.rstrip("/") + "_out"
     run_extract_job(sorted(glob.glob(d + "/*.parquet")), out, wave_size=8)
-    _write_aux_table(_expected_manifest_table(sf_dir),
-                     "manifest_expected.parquet", sf_dir)
+    _ensure_aux("manifest_expected.parquet", sf_dir,
+                lambda: _expected_manifest_table(sf_dir))
     t = mfst.read_manifest(out)
     return t.select(["partition_id", "size_class", "row_count", "ocr_rows",
                      "content_hash", "status"])
@@ -2452,32 +2492,35 @@ def corpus_pipeline_sql(sf_dir: str) -> str:
 
 def _write_expected_corpus_summary(sf_dir: str) -> None:
     """Single-process derivation of the composed pipeline's summary row:
-    oracle extractor → same gate predicate → dict-based dedup → rollup."""
-    _, golden, _ = _oracle_golden(sf_dir)
-    agg: dict = {}
-    for url, text, method in zip(golden.column("url").to_pylist(),
-                                 golden.column("extracted_text").to_pylist(),
-                                 golden.column("method").to_pylist()):
-        toks = T.ascii_tokens(text)
-        if len(toks) < 5 or sum(len(x) for x in toks) / len(toks) >= 20.0:
-            continue
-        key = T.md5_hex(text)
-        a = agg.setdefault(key, {"tokens": len(toks),
-                                 "is_ocr": 1 if method == "ocr" else 0,
-                                 "n": 0})
-        a["tokens"] = min(a["tokens"], len(toks))
-        a["is_ocr"] = min(a["is_ocr"], 1 if method == "ocr" else 0)
-        a["n"] += 1
-    t = pa.table({
-        "unique_docs": pa.array([len(agg)], pa.int64()),
-        "total_tokens": pa.array([sum(a["tokens"] for a in agg.values())],
+    oracle extractor → same gate predicate → dict-based dedup → rollup.
+    Stamp-skipped (the oracle extractor is the cost)."""
+
+    def build() -> pa.Table:
+        _, golden, _ = _oracle_golden(sf_dir)
+        agg: dict = {}
+        for text, method in zip(golden.column("extracted_text").to_pylist(),
+                                golden.column("method").to_pylist()):
+            toks = T.ascii_tokens(text)
+            if len(toks) < 5 or sum(len(x) for x in toks) / len(toks) >= 20.0:
+                continue
+            key = T.md5_hex(text)
+            a = agg.setdefault(key, {"tokens": len(toks),
+                                     "is_ocr": 1 if method == "ocr" else 0,
+                                     "n": 0})
+            a["tokens"] = min(a["tokens"], len(toks))
+            a["is_ocr"] = min(a["is_ocr"], 1 if method == "ocr" else 0)
+            a["n"] += 1
+        return pa.table({
+            "unique_docs": pa.array([len(agg)], pa.int64()),
+            "total_tokens": pa.array([sum(a["tokens"] for a in agg.values())],
+                                     pa.int64()),
+            "ocr_docs": pa.array([sum(a["is_ocr"] for a in agg.values())],
                                  pa.int64()),
-        "ocr_docs": pa.array([sum(a["is_ocr"] for a in agg.values())],
-                             pa.int64()),
-        "docs_after_gate": pa.array([sum(a["n"] for a in agg.values())],
-                                    pa.int64()),
-    })
-    _write_aux_table(t, "corpus_summary_expected.parquet", sf_dir)
+            "docs_after_gate": pa.array([sum(a["n"] for a in agg.values())],
+                                        pa.int64()),
+        })
+
+    _ensure_aux("corpus_summary_expected.parquet", sf_dir, build)
 
 
 def x_corpus_pipeline(sf_dir: str):
