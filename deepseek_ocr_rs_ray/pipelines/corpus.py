@@ -1886,9 +1886,25 @@ def _ensure_aux(name: str, sf_dir: str, builder, extra: str = "") -> None:
     an unconditional rebuild on every query call taxes benchmarks and warm
     gates. Deterministic builders ⇒ unchanged code ⇒ byte-identical aux,
     so the stamp skip is exact. Concurrent rebuilds are safe (atomic
-    same-content publishes)."""
+    same-content publishes).
+
+    The stamp also folds in the resolved sf path and the (size, mtime) of
+    every parquet directly under it: aux dirs are keyed by the sf BASENAME
+    (aux_dir_for), and pytest tmp dirs reuse basenames across runs — a
+    regenerated same-name corpus must rebuild, never read a predecessor's
+    expectations. (A touched-but-identical input just causes one spare
+    rebuild — safe direction.)"""
     import os
-    stamp = _aux_code_stamp() + (":" + extra if extra else "")
+    sig = [os.path.realpath(sf_dir)]
+    try:
+        for e in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            if e.name.endswith(".parquet"):
+                st = e.stat()
+                sig.append(f"{e.name}:{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        pass
+    stamp = (_aux_code_stamp() + "|" + "|".join(sig)
+             + (":" + extra if extra else ""))
     d = aux_dir_for(sf_dir)
     spath = os.path.join(d, name + ".stamp")
     if os.path.exists(os.path.join(d, name)):
