@@ -17,6 +17,7 @@ from collections.abc import Callable
 from typing import Any
 
 from deepseek_ocr_rs_ray.pipelines import corpus as C
+from deepseek_ocr_rs_ray.pipelines import quality as Q
 from deepseek_ocr_rs_ray.pipelines import relational as R
 
 
@@ -94,6 +95,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # redundant with the local gate + tests) and the stage-count rollup.
         "q_union_distinct": R.q_union_distinct,
         "x_extract_stage_totals": C.x_extract_stage_totals,
+        # Entries past the driver's observed 50-row recording cap: verified
+        # by tools/check_correctness.py (sf0.01 + sf0.1) and pytest; they
+        # extend coverage without evicting the long-green rows above.
+        "q_gopher_repetition": Q.q_gopher_repetition,
+        "q_token_entropy": Q.q_token_entropy,
     }
 
 
@@ -174,6 +180,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "x_image_features": C.features_sql(sf_dir),
         "x_frame_samples": C.frames_sql(sf_dir),
         "x_extract_stage_totals": C.extract_stage_totals_sql(sf_dir),
+        "q_gopher_repetition": Q.Q_GOPHER_SQL,
+        "q_token_entropy": Q.Q_TOKEN_ENTROPY_SQL,
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

@@ -1,0 +1,225 @@
+"""Gopher-style repetition / lexical-diversity quality signals.
+
+Web-scale training corpora are filtered on *repetition* statistics before
+anything model-based runs (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", Table A1): documents
+dominated by one repeated n-gram, or with a large fraction of characters
+inside duplicated long n-grams, are boilerplate/spam with high probability.
+This module implements the two workhorse signals over the ``documents``
+table plus a unigram lexical-diversity probe (type-token ratio + Shannon
+entropy), each as a single embarrassingly-parallel ``map_batches`` pass —
+the 100-TB shape is "pure map, no shuffle", identical to the reference's
+per-record scalar stages (SURVEY.md §2.8).
+
+Determinism spec (cross-engine, hash-exact under the dtype-strict gate):
+
+- tokens are ``textops.ascii_tokens`` (explicit ASCII-whitespace set on
+  both engines — pipelines/common.py);
+- an n-gram's char length is ``len(' '.join(gram))`` = sum of token
+  lengths + (n-1); counts and char totals are exact int64;
+- ``top2_chars`` = MAX over distinct 2-grams of ``count * len`` — a pure
+  MAX of integer products, so no argmax tie-break is needed (Gopher's
+  "chars in the most frequent 2-gram" needs one; this variant is the
+  deterministic upper-bound form and is documented as such);
+- ``dup3_chars`` = SUM over distinct 3-grams occurring more than once of
+  ``count * len`` (all occurrences counted — the Gopher "fraction of
+  characters inside duplicated n-grams" numerator; Gopher uses n=5..10,
+  but the synthetic corpus's ~30-word vocabulary makes repeats of n>=4
+  vanishingly rare — 0/500 docs at sf0.01 — so n=3 is the smallest n
+  that exercises both branches; threshold 0.15 = Gopher's dup-5 value);
+- fractions are one ``double(int)/double(int)`` division; the keep flag
+  compares those doubles against DOUBLE literals (thresholds 0.2 / 0.15),
+  identical IEEE ops on both engines;
+- entropy uses ``log2`` from the platform libm on BOTH engines (CPython
+  ``math.log2`` and DuckDB ``log2`` resolve to the same glibc on this
+  host) and is truncated with the round6 rule; the ~30-term sum's
+  accumulation-order ulps sit far from the 1e-6 truncation boundary
+  (same argument as the cosine oracles, pipelines/common.py).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import textops as T
+from .common import SQL_ASCII_TRIM, SQL_ASCII_WS_PATTERN, read_table
+
+GOPHER_TOP2_MAX = 0.2  # Gopher Table A1: top-2-gram char fraction
+GOPHER_DUP3_MAX = 0.15  # Gopher dup-5-gram threshold, applied at n=3 (see above)
+
+
+def gopher_repetition_row(s: str) -> tuple:
+    """(n_chars, top2_chars, dup3_chars) for one document (exact ints)."""
+    toks = T.ascii_tokens(s)
+    lens = [len(t) for t in toks]
+    top2 = 0
+    if len(toks) >= 2:
+        c2 = Counter(zip(toks, toks[1:]))
+        top2 = max(cnt * (len(a) + len(b) + 1) for (a, b), cnt in c2.items())
+    dup3 = 0
+    if len(toks) >= 3:
+        c3 = Counter(tuple(toks[i:i + 3]) for i in range(len(toks) - 2))
+        glen = {}
+        for i in range(len(toks) - 2):
+            g = tuple(toks[i:i + 3])
+            if g not in glen:
+                glen[g] = lens[i] + lens[i + 1] + lens[i + 2] + 2
+        dup3 = sum(cnt * glen[g] for g, cnt in c3.items() if cnt > 1)
+    return len(s), top2, dup3
+
+
+def q_gopher_repetition(sf_dir: str):
+    """Per-doc Gopher repetition signals + keep flag (pure map, no shuffle).
+
+    Per-row Python over the token list is inherent to n-gram multiset
+    construction (same trade as the shingle kernels, corpus.py); everything
+    batch-level stays Arrow.
+    """
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        rows = [gopher_repetition_row(s) for s in texts]
+        n_chars = np.array([r[0] for r in rows], dtype=np.int64)
+        top2 = np.array([r[1] for r in rows], dtype=np.int64)
+        dup3 = np.array([r[2] for r in rows], dtype=np.int64)
+        top2_frac = top2.astype(np.float64) / n_chars.astype(np.float64)
+        dup3_frac = dup3.astype(np.float64) / n_chars.astype(np.float64)
+        keep = (~((top2_frac > GOPHER_TOP2_MAX)
+                  | (dup3_frac > GOPHER_DUP3_MAX))).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pa.array(n_chars),
+            "top2_chars": pa.array(top2),
+            "dup3_chars": pa.array(dup3),
+            "top2_frac": pa.array(top2_frac),
+            "dup3_frac": pa.array(dup3_frac),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_TRIM = SQL_ASCII_TRIM.format(col="text")
+
+_SQL_TOKS_IDX = rf"""
+toks AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CASE WHEN {_TRIM} = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array({_TRIM}, '{SQL_ASCII_WS_PATTERN}')
+         END AS tok
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, unnest(tok) AS t, unnest(range(1, len(tok)+1)) AS i
+  FROM toks
+)"""
+
+_G3 = " || ' ' || ".join(["t"] + [f"lead(t, {k}) OVER w" for k in range(1, 3)])
+
+Q_GOPHER_SQL = rf"""
+WITH {_SQL_TOKS_IDX},
+g2 AS (
+  SELECT doc_id, t || ' ' || lead(t, 1) OVER w AS g
+  FROM idx WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(t, 1) OVER w IS NOT NULL
+),
+a2 AS (
+  SELECT doc_id, MAX(c * glen) AS top2_chars FROM (
+    SELECT doc_id, g, CAST(length(g) AS BIGINT) AS glen, COUNT(*) AS c
+    FROM g2 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+g3 AS (
+  SELECT doc_id, {_G3} AS g
+  FROM idx WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(t, 2) OVER w IS NOT NULL
+),
+a3 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS BIGINT)
+           AS dup3_chars
+  FROM (
+    SELECT doc_id, g, CAST(length(g) AS BIGINT) AS glen, COUNT(*) AS c
+    FROM g3 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+),
+j AS (
+  SELECT toks.doc_id, toks.n_chars,
+         COALESCE(a2.top2_chars, 0) AS top2_chars,
+         COALESCE(a3.dup3_chars, 0) AS dup3_chars,
+         CAST(COALESCE(a2.top2_chars, 0) AS DOUBLE)
+           / CAST(toks.n_chars AS DOUBLE) AS top2_frac,
+         CAST(COALESCE(a3.dup3_chars, 0) AS DOUBLE)
+           / CAST(toks.n_chars AS DOUBLE) AS dup3_frac
+  FROM toks
+  LEFT JOIN a2 ON toks.doc_id = a2.doc_id
+  LEFT JOIN a3 ON toks.doc_id = a3.doc_id
+)
+SELECT doc_id, n_chars, top2_chars, dup3_chars, top2_frac, dup3_frac,
+       CAST(NOT (top2_frac > 0.2e0 OR dup3_frac > 0.15e0) AS BIGINT) AS keep
+FROM j
+"""
+
+
+def token_entropy_row(s: str) -> tuple:
+    """(n_tokens, n_distinct, entropy_sum) — entropy_sum = Σ c·log2(c)."""
+    import math
+    toks = T.ascii_tokens(s)
+    c = Counter(toks)
+    ent_sum = sum(cnt * math.log2(cnt) for cnt in c.values())
+    return len(toks), len(c), ent_sum
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-doc lexical diversity: type-token ratio + unigram Shannon entropy
+    (round6-truncated; H = log2(n) − Σ c·log2(c) / n). Pure map."""
+    import math
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        rows = [token_entropy_row(s) for s in texts]
+        n = np.array([r[0] for r in rows], dtype=np.int64)
+        d = np.array([r[1] for r in rows], dtype=np.int64)
+        ent = np.zeros(len(rows), dtype=np.float64)
+        ttr = np.zeros(len(rows), dtype=np.float64)
+        for k, (nt, nd, s_) in enumerate(rows):
+            if nt > 0:
+                ttr[k] = float(nd) / float(nt)
+                h = math.log2(float(nt)) - s_ / float(nt)
+                ent[k] = np.floor(h * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n),
+            "n_distinct": pa.array(d),
+            "ttr": pa.array(ttr),
+            "entropy": pa.array(ent),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q_TOKEN_ENTROPY_SQL = rf"""
+WITH {_SQL_TOKS_IDX},
+c AS (SELECT doc_id, t, COUNT(*) AS c FROM idx GROUP BY doc_id, t),
+a AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS d,
+         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s
+  FROM c GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.d, 0) AS BIGINT) AS n_distinct,
+       CASE WHEN COALESCE(a.n, 0) > 0
+            THEN CAST(a.d AS DOUBLE) / CAST(a.n AS DOUBLE)
+            ELSE 0.0e0 END AS ttr,
+       CASE WHEN COALESCE(a.n, 0) > 0
+            THEN FLOOR((log2(CAST(a.n AS DOUBLE))
+                        - a.s / CAST(a.n AS DOUBLE)) * 1000000 + 0.5) / 1000000
+            ELSE 0.0e0 END AS entropy
+FROM toks LEFT JOIN a ON toks.doc_id = a.doc_id
+"""
