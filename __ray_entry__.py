@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extend coverage without evicting the long-green rows above.
         "q_gopher_repetition": Q.q_gopher_repetition,
         "q_token_entropy": Q.q_token_entropy,
+        "q_json_extract": R.q_json_extract,
+        "q_rollup_orders": R.q_rollup_orders,
+        "q_pivot_status": R.q_pivot_status,
+        "q_left_join_nations": R.q_left_join_nations,
     }
 
 
@@ -182,6 +186,10 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "x_extract_stage_totals": C.extract_stage_totals_sql(sf_dir),
         "q_gopher_repetition": Q.Q_GOPHER_SQL,
         "q_token_entropy": Q.Q_TOKEN_ENTROPY_SQL,
+        "q_json_extract": R.Q_JSON_EXTRACT_SQL,
+        "q_rollup_orders": R.Q_ROLLUP_SQL,
+        "q_pivot_status": R.Q_PIVOT_SQL,
+        "q_left_join_nations": R.Q_LEFT_JOIN_SQL,
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

@@ -1191,3 +1191,256 @@ ASOF LEFT JOIN (
   FROM orders GROUP BY o_custkey, o_orderdate
 ) o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# JSON field extraction (§2.8 — serde field access in the reference) as a
+# grouped aggregate: parse the props payload, pull one typed field, pre-agg
+# ---------------------------------------------------------------------------
+
+def q_json_extract(sf_dir: str):
+    """Per-event-type stats of the JSON field ``props.k``.
+
+    The reference reads JSON fields via serde everywhere (SURVEY.md §2.8,
+    e.g. dsq-cli main.rs:680-685); the Ray form is a map_batches parse
+    (CPython json — per-row by nature, like all string parsing here) into
+    typed columns followed by the usual partial-agg → tiny groupby. Scale:
+    the shuffle carries one row per (batch, event_type) only.
+    """
+    import json
+
+    from ray.data.aggregate import Max, Min, Sum
+    ds = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = np.fromiter((json.loads(p)["k"] for p in t["props"].to_pylist()),
+                         dtype=np.int64, count=t.num_rows)
+        tmp = pa.table({"event_type": t["event_type"], "k": pa.array(ks),
+                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return tmp.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"), ("n", "sum")])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("k_sum", alias_name="sum_k"),
+                        Min("k_min", alias_name="min_k"),
+                        Max("k_max", alias_name="max_k"),
+                        Sum("n_sum", alias_name="n_events")))
+    df = agg.to_pandas()
+    df["avg_k"] = df["sum_k"].astype(np.float64) / \
+        df["n_events"].astype(np.float64)
+    return df
+
+
+Q_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy (GROUPING SETS family): one distributed fine-level agg,
+# coarser levels re-aggregated from it
+# ---------------------------------------------------------------------------
+
+def q_rollup_orders(sf_dir: str):
+    """Order count/revenue by ROLLUP(year, month) with -1 sentinels.
+
+    Scale shape: the only distributed work is the fine (year, month)
+    partial-agg + ~84-group groupby; the year level and grand total are
+    re-aggregations OF THAT BOUNDED RESULT on the driver (rollup levels
+    are functions of the finest level — never a second pass over facts).
+    Sentinel -1 instead of NULL keeps both engines' dtypes pure int64
+    under the driver's hash gate.
+    """
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table({
+            "year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            "month": pc.cast(pc.month(t["o_orderdate"]), pa.int64()),
+            "cents": cents_arr(t["o_totalprice"]),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return tmp.group_by(["year", "month"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["year", "month"])
+              .aggregate(Sum("cents_sum", alias_name="revenue_cents"),
+                         Sum("n_sum", alias_name="n_orders"))).to_pandas()
+    years = (fine.groupby("year", as_index=False)
+                 .agg(revenue_cents=("revenue_cents", "sum"),
+                      n_orders=("n_orders", "sum")))
+    years["month"] = np.int64(-1)
+    total = pd.DataFrame({
+        "year": [np.int64(-1)], "month": [np.int64(-1)],
+        "revenue_cents": [np.int64(fine["revenue_cents"].sum())],
+        "n_orders": [np.int64(fine["n_orders"].sum())]})
+    out = pd.concat([fine, years, total], ignore_index=True)
+    return out[["year", "month", "n_orders", "revenue_cents"]].astype(
+        {"year": "int64", "month": "int64",
+         "n_orders": "int64", "revenue_cents": "int64"})
+
+
+Q_ROLLUP_SQL = """
+WITH f AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT COALESCE(y, -1) AS year, COALESCE(m, -1) AS month,
+       COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM f GROUP BY ROLLUP(y, m)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot (conditional aggregation to a wide table): segment × order status
+# ---------------------------------------------------------------------------
+
+def q_pivot_status(sf_dir: str):
+    """Orders pivoted to one row per customer segment with per-status
+    count/revenue columns ('O'/'F'/'P' — the fixed TPC-H status domain).
+
+    Broadcast join (J1 shape): the custkey→segment dimension probe rides
+    inside the partial-agg map; the shuffle is 5 segments × per-batch rows.
+    The pivot itself is conditional aggregation — wide columns, no extra
+    pass, mirroring SQL FILTER/CASE aggregation.
+    """
+    from ray.data.aggregate import Sum
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = cust["c_custkey"].to_numpy()
+    order_idx = np.argsort(ckeys, kind="stable")
+    ckeys_sorted = ckeys[order_idx]
+    csegs = np.asarray(cust["c_mktsegment"].to_pylist(),
+                       dtype=object)[order_idx]
+
+    ds = read_table(sf_dir, "orders",
+                    ["o_custkey", "o_orderstatus", "o_totalprice"])
+    STATUSES = ("O", "F", "P")
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = probe_sorted(ckeys_sorted, csegs,
+                           t["o_custkey"].to_numpy(zero_copy_only=False),
+                           "NONE")
+        status = np.asarray(t["o_orderstatus"].to_pylist(), dtype=object)
+        cents = cents_arr(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        cols = {"c_mktsegment": pa.array(seg)}
+        for s in STATUSES:
+            m = status == s
+            cols[f"n_{s}"] = pa.array(m.astype(np.int64))
+            cols[f"rev_{s}_cents"] = pa.array(np.where(m, cents, 0))
+        tmp = pa.table(cols)
+        return tmp.group_by("c_mktsegment").aggregate(
+            [(c, "sum") for c in cols if c != "c_mktsegment"])
+
+    aggs = []
+    for s in STATUSES:
+        aggs.append(Sum(f"n_{s}_sum", alias_name=f"n_{s}"))
+        aggs.append(Sum(f"rev_{s}_cents_sum", alias_name=f"rev_{s}_cents"))
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("c_mktsegment").aggregate(*aggs))
+
+
+Q_PIVOT_SQL = """
+SELECT c.c_mktsegment,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS rev_O_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS rev_F_cents,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS rev_P_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# left outer join with null-fill (the one outer-join shape the catalogue
+# lacked): nation ⟕ high-balance customer rollup
+# ---------------------------------------------------------------------------
+
+LEFT_JOIN_BAL = 9950.0
+
+
+def q_left_join_nations(sf_dir: str):
+    """Per-nation count/sum/avg of customers with acctbal > 9950, KEEPING
+    nations with none (count 0, sum 0, avg 0.0) — LEFT OUTER semantics.
+
+    Scale shape: facts are filtered + partially aggregated per batch by
+    nationkey (25 groups); the outer join against the nation dimension is
+    a driver-side merge of two bounded tables. The 9950 cut leaves at
+    least one nation empty at every sf (sf0.001: 25, sf0.01: 19,
+    sf0.1: 1), so the null-fill path is always exercised.
+    """
+    from ray.data.aggregate import Sum
+    nat = read_dim(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+
+    ds = read_table(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], pa.scalar(LEFT_JOIN_BAL)))
+        tmp = pa.table({"c_nationkey": t["c_nationkey"],
+                        "cents": cents_arr(t["c_acctbal"]),
+                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        out = tmp.group_by("c_nationkey").aggregate(
+            [("cents", "sum"), ("n", "sum")])
+        if out.num_rows == 0:
+            # empty-batch rule: emit the suffixed post-group schema
+            return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                             "cents_sum": pa.array([], pa.int64()),
+                             "n_sum": pa.array([], pa.int64())})
+        return out
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("c_nationkey")
+             .aggregate(Sum("cents_sum", alias_name="sum_acctbal_cents"),
+                        Sum("n_sum", alias_name="n_customers"))).to_pandas()
+    if "c_nationkey" not in agg.columns:
+        # zero survivors anywhere: the grouped aggregate of an all-empty
+        # stream drops its schema — rebuild it so the outer join still
+        # yields the null-filled nation rows
+        agg = pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                            "sum_acctbal_cents": pd.Series([], dtype="int64"),
+                            "n_customers": pd.Series([], dtype="int64")})
+    m = nat.merge(agg, left_on="n_nationkey", right_on="c_nationkey",
+                  how="left")
+    n = m["n_customers"].fillna(0).astype("int64")
+    s = m["sum_acctbal_cents"].fillna(0).astype("int64")
+    avg = np.where(n.to_numpy() > 0,
+                   s.to_numpy(dtype=np.float64)
+                   / np.where(n.to_numpy() > 0, n.to_numpy(), 1).astype(np.float64),
+                   0.0)
+    return pd.DataFrame({"n_name": m["n_name"], "n_customers": n,
+                         "sum_acctbal_cents": s,
+                         "avg_acctbal_cents": avg})
+
+
+Q_LEFT_JOIN_SQL = f"""
+SELECT n.n_name,
+       CAST(COALESCE(a.cnt, 0) AS BIGINT) AS n_customers,
+       CAST(COALESCE(a.s, 0) AS BIGINT) AS sum_acctbal_cents,
+       CASE WHEN COALESCE(a.cnt, 0) > 0
+            THEN CAST(a.s AS DOUBLE) / CAST(a.cnt AS DOUBLE)
+            ELSE 0.0e0 END AS avg_acctbal_cents
+FROM nation n LEFT JOIN (
+  SELECT c_nationkey, COUNT(*) AS cnt,
+         SUM(CAST(FLOOR(c_acctbal*100 + 0.5) AS BIGINT)) AS s
+  FROM customer WHERE c_acctbal > {LEFT_JOIN_BAL}
+  GROUP BY c_nationkey
+) a ON n.n_nationkey = a.c_nationkey
+"""

@@ -37,3 +37,50 @@ def test_dup_clusters_distributed_fallback_parity(ray_session):
     b = C.q_dup_clusters(SF, pair_cap=0)
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("qname", ["q_json_extract", "q_rollup_orders",
+                                   "q_pivot_status", "q_left_join_nations"])
+def test_relational_ext_sql_oracle_parity(ray_session, qname):
+    """Driver-gate replication at sf0.001 for the round-3 relational adds
+    (JSON extraction, ROLLUP, pivot, left outer join)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from tools.check_correctness import compare, to_pandas
+    con = duckdb.connect()
+    for t in ("events", "orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    ray_df = to_pandas(m.queries()[qname](SF))
+    sql_df = con.execute(m.oracle_sql_for(SF)[qname]).fetchdf()
+    assert compare(qname, ray_df, sql_df) == []
+
+
+def test_left_join_null_fill_path(ray_session):
+    """At sf0.001 no customer clears the 9950 balance cut, so every nation
+    must appear with the outer-join null-fill values (0 / 0 / 0.0)."""
+    from deepseek_ocr_rs_ray.pipelines.relational import q_left_join_nations
+    df = q_left_join_nations(SF)
+    assert len(df) == 25
+    assert (df["n_customers"] == 0).all()
+    assert (df["sum_acctbal_cents"] == 0).all()
+    assert (df["avg_acctbal_cents"] == 0.0).all()
+
+
+def test_rollup_levels_consistent(ray_session):
+    """Year rows equal the sum of their month rows; the grand total equals
+    the sum of the year rows (rollup invariant)."""
+    from deepseek_ocr_rs_ray.pipelines.relational import q_rollup_orders
+    df = q_rollup_orders(SF)
+    fine = df[(df.year != -1) & (df.month != -1)]
+    years = df[(df.year != -1) & (df.month == -1)]
+    total = df[(df.year == -1)]
+    assert len(total) == 1
+    assert fine["n_orders"].sum() == total["n_orders"].iloc[0]
+    assert fine["revenue_cents"].sum() == total["revenue_cents"].iloc[0]
+    per_year = fine.groupby("year")["revenue_cents"].sum()
+    for _, r in years.iterrows():
+        assert per_year[r.year] == r.revenue_cents
