@@ -19,6 +19,7 @@ from typing import Any
 from deepseek_ocr_rs_ray.pipelines import corpus as C
 from deepseek_ocr_rs_ray.pipelines import quality as Q
 from deepseek_ocr_rs_ray.pipelines import relational as R
+from deepseek_ocr_rs_ray.pipelines import sketches as SK
 
 
 def entry() -> Any:
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_orders": R.q_rollup_orders,
         "q_pivot_status": R.q_pivot_status,
         "q_left_join_nations": R.q_left_join_nations,
+        "q_hll_users": SK.q_hll_users,
     }
 
 
@@ -190,6 +192,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_rollup_orders": R.Q_ROLLUP_SQL,
         "q_pivot_status": R.Q_PIVOT_SQL,
         "q_left_join_nations": R.Q_LEFT_JOIN_SQL,
+        "q_hll_users": SK.Q_HLL_USERS_SQL,
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

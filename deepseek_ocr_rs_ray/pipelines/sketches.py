@@ -1,0 +1,158 @@
+"""Distributed sketch operators: HyperLogLog approximate distinct count.
+
+The reference has no approximate aggregates (SURVEY.md §2.5) — at
+10^12-document scale an exact COUNT(DISTINCT) over a high-cardinality key
+is the textbook all-to-all shuffle this engine is supposed to avoid, so
+the catalogue carries the standard sketch: HyperLogLog (Flajolet et al.
+2007). The register array is a *combiner*: per-batch partial registers
+merge by MAX, so the shuffle carries at most ``m`` rows per batch
+regardless of input size — the same partial-agg discipline as every
+G1-family aggregate here.
+
+Deterministic cross-engine spec (hash-exact under the dtype-strict gate):
+
+- 64-bit hash = first 16 hex chars of ``md5(str(key))`` (the repo's
+  standard md5-bit trick, same as SimHash's oracle);
+- ``m = 256`` registers (b = 8): bucket = top 8 bits, suffix = low 56
+  bits, rank = 57 − bit_length(suffix) (= 57 when the suffix is 0);
+- the harmonic sum is computed as the EXACT integer
+  ``S = Σ 2^(57 − register)`` (empty register → 2^57) — Python big ints
+  on one side, DuckDB HUGEINT on the other — so the only float steps are
+  the final alpha·m²·2^57 / double(S) division chain, written with the
+  identical literal/associativity structure in both engines, then
+  round6-truncated;
+- the small-range linear-counting correction is intentionally omitted:
+  the point is the deterministic distributed-sketch shape, and the raw
+  estimator keeps the cross-engine contract exact (documented bias at
+  n ≪ m is part of the spec; the exact count ships alongside).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .common import read_table, single_row
+
+HLL_M = 256          # registers (b = 8)
+HLL_SUFFIX_BITS = 56
+
+
+def hll_rank(suffix: int) -> int:
+    """57 − bit_length(suffix); 57 for a zero suffix (all 56 bits zero)."""
+    return 57 - suffix.bit_length() if suffix else 57
+
+
+def hll_registers(keys) -> np.ndarray:
+    """Register array (int64[m]) for an iterable of already-unique keys."""
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    mask = (1 << HLL_SUFFIX_BITS) - 1
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:16], 16)
+        b = h >> HLL_SUFFIX_BITS
+        r = hll_rank(h & mask)
+        if r > regs[b]:
+            regs[b] = r
+    return regs
+
+
+def hll_estimate_from_registers(regs: np.ndarray) -> float:
+    """Raw HLL estimate via the exact-integer harmonic sum (see module
+    docstring); the float expression mirrors the SQL token-for-token."""
+    s = sum(1 << (57 - int(r)) for r in regs)  # exact Python int
+    return np.floor(
+        0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        * 144115188075855872.0 / float(s) * 1e6 + 0.5) / 1e6
+
+
+def q_hll_users(sf_dir: str):
+    """Approximate distinct ``user_id`` count over events via a 256-register
+    HyperLogLog, with the exact count alongside for calibration.
+
+    Scale shape: one pass for the sketch (per-batch registers → ≤256-row
+    MAX-merge groupby), one sharded-unique pass for the exact count (the
+    q_union_distinct pattern — per-batch unique, 64 hash shards, per-shard
+    nunique). At 10^12 keys only the sketch pass survives; the exact side
+    exists because the fixture is small enough to afford the oracle.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        regs = hll_registers(u)
+        nz = np.nonzero(regs)[0]
+        return pa.table({"register": pa.array(nz.astype(np.int64)),
+                         "rank": pa.array(regs[nz])})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("register")
+                .aggregate(Max("rank", alias_name="rank"))).to_pandas()
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    if len(merged):
+        regs[merged["register"].to_numpy()] = merged["rank"].to_numpy()
+
+    # exact distinct (sharded-unique; bounded groups)
+    N_SHARDS = 64
+
+    def uniq(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u),
+                         "shard": pa.array(u & (N_SHARDS - 1))})
+
+    def shard_nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [np.int64(g["user_id"].nunique())]})
+
+    parts = (read_table(sf_dir, "events", ["user_id"])
+             .map_batches(uniq, batch_format="pyarrow")
+             .groupby("shard")
+             .map_groups(shard_nunique, batch_format="pandas").to_pandas())
+
+    return single_row({
+        "m": np.int64(HLL_M),
+        "nonzero_registers": np.int64(int((regs > 0).sum())),
+        "register_checksum": np.int64(int((np.arange(HLL_M) * regs).sum())),
+        "hll_estimate": float(hll_estimate_from_registers(regs)),
+        "n_exact": np.int64(int(parts["n"].sum())),
+    })
+
+
+Q_HLL_USERS_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+  FROM u
+),
+br AS (
+  SELECT CAST(hv >> 56 AS BIGINT) AS register,
+         CASE WHEN (hv & ((CAST(1 AS UBIGINT) << 56) - 1)) = 0 THEN 57
+              ELSE 57 - CAST(length(bin(hv & ((CAST(1 AS UBIGINT) << 56) - 1)))
+                             AS BIGINT)
+         END AS rank
+  FROM h
+),
+regs AS (
+  SELECT g.register, CAST(COALESCE(MAX(br.rank), 0) AS BIGINT) AS rank
+  FROM (SELECT unnest(generate_series(0, 255)) AS register) g
+  LEFT JOIN br ON br.register = g.register
+  GROUP BY g.register
+),
+s AS (
+  SELECT SUM(CAST(1 AS HUGEINT) << (57 - rank)) AS s,
+         CAST(SUM(CASE WHEN rank > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+         CAST(SUM(register * rank) AS BIGINT) AS checksum
+  FROM regs
+)
+SELECT CAST(256 AS BIGINT) AS m,
+       s.nz AS nonzero_registers,
+       s.checksum AS register_checksum,
+       FLOOR(0.7213e0 / (1.0e0 + 1.079e0 / 256.0e0) * 65536.0e0
+             * 144115188075855872.0e0 / CAST(s.s AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS hll_estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
+FROM s
+"""

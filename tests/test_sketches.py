@@ -1,0 +1,51 @@
+"""HyperLogLog sketch tests: rank/register kernels, merge-combiner
+property, estimate accuracy at sketch-friendly cardinalities, and
+driver-gate oracle parity."""
+
+import numpy as np
+import pytest
+
+from deepseek_ocr_rs_ray.pipelines import sketches as SK
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_rank_edges():
+    assert SK.hll_rank(0) == 57
+    assert SK.hll_rank(1) == 56
+    assert SK.hll_rank((1 << 56) - 1) == 1
+    assert SK.hll_rank(1 << 55) == 1
+
+
+def test_hll_registers_merge_is_max():
+    """Sketch of a union == elementwise MAX of the parts' sketches — the
+    combiner property the distributed partial-agg relies on."""
+    a = [f"user{i}" for i in range(500)]
+    b = [f"other{i}" for i in range(500)]
+    ra, rb = SK.hll_registers(a), SK.hll_registers(b)
+    rab = SK.hll_registers(a + b)
+    assert np.array_equal(rab, np.maximum(ra, rb))
+
+
+def test_hll_estimate_within_expected_error():
+    """Raw estimator error ~1.04/sqrt(256) ≈ 6.5%; allow 3 sigma at a
+    cardinality comfortably above m (no small-range correction here)."""
+    n = 20000
+    regs = SK.hll_registers(range(n))
+    est = SK.hll_estimate_from_registers(regs)
+    assert abs(est - n) / n < 0.20
+
+
+def test_hll_sql_oracle_parity(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from tools.check_correctness import compare, to_pandas
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    ray_df = to_pandas(m.queries()["q_hll_users"](SF))
+    sql_df = con.execute(m.oracle_sql_for(SF)["q_hll_users"]).fetchdf()
+    assert compare("q_hll_users", ray_df, sql_df) == []
