@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot_status": R.q_pivot_status,
         "q_left_join_nations": R.q_left_join_nations,
         "q_hll_users": SK.q_hll_users,
+        "q_semdedup": C.q_semdedup,
     }
 
 
@@ -193,6 +194,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_pivot_status": R.Q_PIVOT_SQL,
         "q_left_join_nations": R.Q_LEFT_JOIN_SQL,
         "q_hll_users": SK.Q_HLL_USERS_SQL,
+        "q_semdedup": C.semdedup_sql(sf_dir),
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

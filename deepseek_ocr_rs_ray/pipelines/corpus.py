@@ -2627,3 +2627,109 @@ def x_extract_stage_totals(sf_dir: str):
     run_extract_job(sorted(glob.glob(d + "/*.parquet")), out, wave_size=8)
     _write_expected_extract(sf_dir)
     return read_stage_totals(out).select_columns(["stage", "count"])
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (cluster, then drop near-dups in-cluster)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4
+
+
+def q_semdedup(sf_dir: str):
+    """Semantic dedup à la SemDeDup (Abbas et al. 2023): k-means-cluster the
+    embedding space, then inside each cluster drop every vector that has a
+    LOWER-vec_id neighbor with round6-cosine >= SEMDEDUP_TAU.
+
+    The keep rule is the one-shot lower-id form (drop iff ∃ lower-id
+    neighbor over the bar) rather than SemDeDup's sequential greedy scan —
+    it is order-free, SQL-expressible as an EXISTS self-join, and keeps the
+    lowest-id member of every near-dup neighborhood just the same.
+
+    Scale shape: centroid training is the driver-side seeded k-means the
+    IVF index already uses (_ivf_centroids, broadcast once); assignment is
+    a pure map (argmax of raw-embedding · centroid, ulp-compatible with the
+    oracle's ROW_NUMBER over summed products); the only shuffle groups by
+    cluster — IVF_CLUSTERS bounded groups of ~n/k vectors. Per-cluster
+    work is the O(k²) cosine block every SemDeDup implementation does; at
+    corpus scale the cluster count scales with n (n/k held ~constant), so
+    the block stays bounded — same argument as the capped bucket demos.
+    """
+    import ray
+
+    cent = _ivf_centroids(sf_dir)
+    _write_centroids_aux(cent, sf_dir)
+    state = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(state)
+        embs = np.array(t["embedding"].to_pylist(),
+                        dtype=np.float32).astype(np.float64)
+        cl = np.argmax(embs @ c.T, axis=1).astype(np.int64)
+        return pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"],
+                         "cluster": pa.array(cl)})
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        E = np.array(g["embedding"].tolist(),
+                     dtype=np.float32).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", E, E))
+        # dot/(|a|·|b|) in the oracle's op order (q_embed_dup_pairs note)
+        C6 = np.floor((E @ E.T) / np.outer(norms, norms) * 1e6 + 0.5) / 1e6
+        n = len(ids)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):
+            js = np.nonzero(C6[i, :i] >= SEMDEDUP_TAU)[0]
+            if js.size:
+                dup_of[i] = ids[js[0]]          # ids sorted → min lower id
+        return pd.DataFrame({
+            "vec_id": pd.Series(ids, dtype="int64"),
+            "cluster": pd.Series(g["cluster"].to_numpy(), dtype="int64"),
+            "keep": pd.Series((dup_of == -1).astype(np.int64)),
+            "dup_of": pd.Series(dup_of, dtype="int64")})
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("cluster")
+              .map_groups(dedup, batch_format="pandas"))
+
+
+def semdedup_sql(sf_dir: str) -> str:
+    return f"""
+WITH cent AS (SELECT c, i, w FROM read_parquet('{aux_dir_for(sf_dir)}/ivf_centroids.parquet')),
+adots AS (
+  SELECT e.vec_id, cent.c, SUM(CAST(e.embedding[cent.i] AS DOUBLE) * cent.w) AS d
+  FROM embeddings e, cent
+  GROUP BY e.vec_id, cent.c
+),
+assign AS (
+  SELECT vec_id, c AS cluster FROM (
+    SELECT vec_id, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, c ASC) AS rn
+    FROM adots) WHERE rn = 1
+),
+pairs AS (
+  SELECT a1.vec_id AS a, a2.vec_id AS b,
+         CAST(ea.embedding[i] AS DOUBLE) AS x,
+         CAST(eb.embedding[i] AS DOUBLE) AS y
+  FROM assign a1
+  JOIN assign a2 ON a1.cluster = a2.cluster AND a2.vec_id < a1.vec_id
+  JOIN embeddings ea ON ea.vec_id = a1.vec_id
+  JOIN embeddings eb ON eb.vec_id = a2.vec_id,
+       generate_series(1, 64) AS t(i)
+),
+cos AS (
+  SELECT a, b,
+         FLOOR(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) * 1000000 + 0.5)/1000000 AS cos
+  FROM pairs GROUP BY a, b
+),
+dups AS (
+  SELECT a AS vec_id, MIN(b) AS dup_of FROM cos
+  WHERE cos >= {SEMDEDUP_TAU} GROUP BY a
+)
+SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""

@@ -233,3 +233,30 @@ def test_capped_bucket_pairs_blocked_equals_plain(ray_session, qfn, kwargs):
     blocked = _canon_pairs(qfn(SF, bucket_cap=13, **kwargs).to_pandas())
     assert len(plain) > 0
     assert plain.equals(blocked)
+
+
+def test_semdedup_invariants_and_parity(ray_session):
+    """SemDeDup: every dropped vector names a kept-eligible lower id in its
+    own cluster; keeps are exactly the rows without a lower near-dup; the
+    SQL oracle agrees row-for-row (driver-gate replication)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from tools.check_correctness import compare, to_pandas
+    df = to_pandas(m.queries()["q_semdedup"](SF)).sort_values("vec_id")
+    assert set(df["keep"].unique()) <= {0, 1}
+    dropped = df[df["keep"] == 0]
+    assert len(dropped) > 0                      # tau chosen to bite
+    assert (dropped["dup_of"] < dropped["vec_id"]).all()
+    cl = dict(zip(df["vec_id"], df["cluster"]))
+    assert all(cl[d] == cl[v] for v, d in
+               zip(dropped["vec_id"], dropped["dup_of"]))
+    assert (df.loc[df["keep"] == 1, "dup_of"] == -1).all()
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    sql_df = con.execute(m.oracle_sql_for(SF)["q_semdedup"]).fetchdf()
+    assert compare("q_semdedup", df, sql_df) == []
