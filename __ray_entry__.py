@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_left_join_nations": R.q_left_join_nations,
         "q_hll_users": SK.q_hll_users,
         "q_semdedup": C.q_semdedup,
+        "q_pmi_pairs": C.q_pmi_pairs,
+        "q_inverted_index": C.q_inverted_index,
     }
 
 
@@ -195,6 +197,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_left_join_nations": R.Q_LEFT_JOIN_SQL,
         "q_hll_users": SK.Q_HLL_USERS_SQL,
         "q_semdedup": C.semdedup_sql(sf_dir),
+        "q_pmi_pairs": C.Q_PMI_SQL,
+        "q_inverted_index": C.Q_INVIDX_SQL,
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

@@ -2733,3 +2733,163 @@ SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
        CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of
 FROM assign s LEFT JOIN dups d ON s.vec_id = d.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence statistics (PMI) and inverted-index construction
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR_DOCS = 5
+
+
+def q_pmi_pairs(sf_dir: str):
+    """Pointwise mutual information of token pairs co-occurring in a doc:
+    pmi(a,b) = log2(N·c_ab / (c_a·c_b)) over document-level presence counts,
+    for pairs seen in >= PMI_MIN_PAIR_DOCS documents.
+
+    Scale shape: per-batch Counters pre-aggregate pair/token presence, so
+    the shuffle carries one row per (batch, pair) — pair cardinality is
+    vocabulary-bounded (~30² here; an open-vocab corpus would shard pairs
+    by hash exactly like q_top_tokens shards tokens). N, c_a, c_b, c_ab
+    are exact int64; the single log2(double·double/(double·double))
+    expression is written identically in both engines and round6-truncated.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        pair_c: Counter = Counter()
+        tok_c: Counter = Counter()
+        ndocs = 0
+        for s in t.column("text").to_pylist():
+            toks = sorted(set(T.ascii_tokens(s)))
+            ndocs += 1
+            tok_c.update(toks)
+            for i in range(len(toks)):
+                for j in range(i + 1, len(toks)):
+                    pair_c[(toks[i], toks[j])] += 1
+        rows = {"a": [], "b": [], "n": []}
+        for (a, b), n in pair_c.items():
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["n"].append(n)
+        # token presence + the batch doc count ride along as sentinel rows
+        # (b = '' cannot be a token: tokens are non-empty by construction)
+        for a, n in tok_c.items():
+            rows["a"].append(a)
+            rows["b"].append("")
+            rows["n"].append(n)
+        rows["a"].append("")
+        rows["b"].append("")
+        rows["n"].append(ndocs)
+        return pa.table({"a": pa.array(rows["a"], pa.string()),
+                         "b": pa.array(rows["b"], pa.string()),
+                         "n": pa.array(np.array(rows["n"], dtype=np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["a", "b"])
+             .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    n_docs = int(agg.loc[(agg["a"] == "") & (agg["b"] == ""), "n"].iloc[0])
+    toks = agg[(agg["b"] == "") & (agg["a"] != "")]
+    c_tok = dict(zip(toks["a"], toks["n"]))
+    pairs = agg[(agg["a"] != "") & (agg["b"] != "")]
+    pairs = pairs[pairs["n"] >= PMI_MIN_PAIR_DOCS]
+    pmi = [np.floor(math.log2(float(n_docs) * float(nab)
+                              / (float(c_tok[a]) * float(c_tok[b])))
+                    * 1e6 + 0.5) / 1e6
+           for a, b, nab in zip(pairs["a"], pairs["b"], pairs["n"])]
+    return pd.DataFrame({"a": pairs["a"].to_numpy(),
+                         "b": pairs["b"].to_numpy(),
+                         "n_ab": pairs["n"].astype("int64").to_numpy(),
+                         "pmi": np.array(pmi, dtype=np.float64)})
+
+
+# plain ascii_tokens mirror (no lowercasing — unlike _SQL_LOWER_TOKS)
+_SQL_TOK_ARRAY = (
+    r"CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12)"
+    r" || chr(11)) = '' THEN CAST([] AS VARCHAR[]) "
+    r"ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || "
+    r"chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+') END"
+)
+
+_PMI_TOKS = rf"""
+dtoks AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOK_ARRAY}) AS t FROM documents
+)"""
+
+Q_PMI_SQL = rf"""
+WITH {_PMI_TOKS},
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+ca AS (SELECT t, COUNT(*) AS c FROM dtoks GROUP BY t),
+cab AS (
+  SELECT x.t AS a, y.t AS b, COUNT(*) AS n_ab
+  FROM dtoks x JOIN dtoks y ON x.doc_id = y.doc_id AND x.t < y.t
+  GROUP BY x.t, y.t
+)
+SELECT cab.a, cab.b, CAST(cab.n_ab AS BIGINT) AS n_ab,
+       FLOOR(log2(CAST(n.n_docs AS DOUBLE) * CAST(cab.n_ab AS DOUBLE)
+                  / (CAST(xa.c AS DOUBLE) * CAST(xb.c AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS pmi
+FROM cab, n
+JOIN ca xa ON xa.t = cab.a
+JOIN ca xb ON xb.t = cab.b
+WHERE cab.n_ab >= {PMI_MIN_PAIR_DOCS}
+"""
+
+
+INVIDX_POSTINGS_CAP = 10
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: token → document frequency + the first
+    INVIDX_POSTINGS_CAP doc_ids ascending as a comma-joined postings
+    preview (a string so the driver hash gate compares it exactly;
+    production postings would stay a list<int64> column).
+
+    Scale shape: per-batch (token, doc_id) presence pairs with local
+    dedup, grouped by token — vocabulary-bounded here; an open vocab
+    shards tokens by hash first (q_top_tokens pattern). Per-group work is
+    a sort of that token's postings, capped output.
+    """
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks_out, docs_out = [], []
+        for d, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for tok in set(T.ascii_tokens(s)):
+                toks_out.append(tok)
+                docs_out.append(d)
+        return pa.table({"token": pa.array(toks_out, pa.string()),
+                         "doc_id": pa.array(np.array(docs_out,
+                                                     dtype=np.int64))})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        return pd.DataFrame({
+            "token": [g["token"].iloc[0]],
+            "n_docs": [np.int64(len(ids))],
+            "postings": [",".join(str(i)
+                                  for i in ids[:INVIDX_POSTINGS_CAP])]})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("token")
+              .map_groups(build, batch_format="pandas"))
+
+
+Q_INVIDX_SQL = rf"""
+WITH {_PMI_TOKS},
+r AS (
+  SELECT t AS token, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+  FROM dtoks
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       string_agg(CASE WHEN rn <= {INVIDX_POSTINGS_CAP}
+                       THEN CAST(doc_id AS VARCHAR) END, ','
+                  ORDER BY doc_id) AS postings
+FROM r GROUP BY token
+"""

@@ -260,3 +260,32 @@ def test_semdedup_invariants_and_parity(ray_session):
                 f"read_parquet('{SF}/embeddings.parquet')")
     sql_df = con.execute(m.oracle_sql_for(SF)["q_semdedup"]).fetchdf()
     assert compare("q_semdedup", df, sql_df) == []
+
+
+@pytest.mark.parametrize("qname", ["q_pmi_pairs", "q_inverted_index"])
+def test_cooccurrence_sql_oracle_parity(ray_session, qname):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from tools.check_correctness import compare, to_pandas
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    ray_df = to_pandas(m.queries()[qname](SF))
+    sql_df = con.execute(m.oracle_sql_for(SF)[qname]).fetchdf()
+    assert compare(qname, ray_df, sql_df) == []
+
+
+def test_inverted_index_postings_semantics(ray_session):
+    """Postings are the smallest doc_ids ascending, capped; n_docs counts
+    ALL docs containing the token (not the cap)."""
+    from deepseek_ocr_rs_ray.pipelines.corpus import (INVIDX_POSTINGS_CAP,
+                                                      q_inverted_index)
+    df = q_inverted_index(SF).to_pandas()
+    assert (df["n_docs"] > 0).all()
+    for _, r in df.iterrows():
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r["n_docs"], INVIDX_POSTINGS_CAP)
