@@ -1444,3 +1444,46 @@ FROM nation n LEFT JOIN (
   GROUP BY c_nationkey
 ) a ON n.n_nationkey = a.c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# NTILE window function (equal-frequency bucketing per partition)
+# ---------------------------------------------------------------------------
+
+def q_ntile_balance(sf_dir: str):
+    """Quartile (NTILE(4)) of every customer's account balance within its
+    market segment, deterministic under the (c_acctbal, c_custkey) order.
+
+    Completes the window-function family (rank/row_number, LAG/gaps,
+    running totals, percentiles already exist). Scale shape: one shuffle
+    groups by segment (5 bounded partitions); NTILE is computed per group
+    with the exact SQL size rule — ceil-sized leading buckets — so both
+    engines agree on every boundary row.
+    """
+    ds = read_table(sf_dir, "customer",
+                    ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def ntile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"]).reset_index(drop=True)
+        n = len(g)
+        k = 4
+        base, rem = divmod(n, k)
+        # SQL NTILE: first `rem` buckets get base+1 rows, the rest base
+        sizes = np.full(k, base, dtype=np.int64)
+        sizes[:rem] += 1
+        q = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)[:n]
+        return pd.DataFrame({"c_custkey": g["c_custkey"].astype("int64"),
+                             "c_mktsegment": g["c_mktsegment"],
+                             "quartile": q})
+
+    return (ds.groupby("c_mktsegment")
+              .map_groups(ntile, batch_format="pandas"))
+
+
+Q_NTILE_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey) AS BIGINT)
+         AS quartile
+FROM customer
+"""

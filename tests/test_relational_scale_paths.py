@@ -84,3 +84,25 @@ def test_rollup_levels_consistent(ray_session):
     per_year = fine.groupby("year")["revenue_cents"].sum()
     for _, r in years.iterrows():
         assert per_year[r.year] == r.revenue_cents
+
+
+def test_ntile_sizes_and_order(ray_session):
+    """NTILE(4): per segment, bucket sizes differ by at most 1 with larger
+    buckets first, and quartile is monotone in (acctbal, custkey) order."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from tools.check_correctness import compare, to_pandas
+    from deepseek_ocr_rs_ray.pipelines.relational import q_ntile_balance
+    df = to_pandas(q_ntile_balance(SF))
+    for seg, g in df.groupby("c_mktsegment"):
+        sizes = g["quartile"].value_counts().sort_index()
+        assert sizes.max() - sizes.min() <= 1
+        assert (sizes.diff().dropna() <= 0).all()   # larger buckets first
+    con = duckdb.connect()
+    con.execute("CREATE VIEW customer AS SELECT * FROM "
+                f"read_parquet('{SF}/customer.parquet')")
+    sql_df = con.execute(m.oracle_sql_for(SF)["q_ntile_balance"]).fetchdf()
+    assert compare("q_ntile_balance", df, sql_df) == []
