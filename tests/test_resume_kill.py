@@ -46,18 +46,25 @@ def test_sigkill_mid_job_then_resume(ray_session, tmp_path):
 
     env = dict(os.environ)
     env.pop("RAY_ADDRESS", None)
-    proc = subprocess.Popen([sys.executable, script, pages_dir, out], env=env,
-                            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    # wait until at least one wave committed (or the job finishes early)
-    deadline = time.time() + 240
-    while time.time() < deadline:
-        if len(mf.committed_waves(out)) >= 1 or proc.poll() is not None:
+    # one relaunch: under heavy suite load the subprocess's own ray.init
+    # can die at startup before any wave commits — that's infra noise, not
+    # the resume contract under test
+    for _attempt in range(2):
+        proc = subprocess.Popen([sys.executable, script, pages_dir, out],
+                                env=env, stdout=subprocess.DEVNULL,
+                                stderr=subprocess.DEVNULL)
+        # wait until at least one wave committed (or the job finishes early)
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            if len(mf.committed_waves(out)) >= 1 or proc.poll() is not None:
+                break
+            time.sleep(0.25)
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)   # hard kill, no cleanup
+            proc.wait()
+        committed_before = mf.committed_waves(out)
+        if committed_before or proc.returncode == 0:
             break
-        time.sleep(0.25)
-    if proc.poll() is None:
-        proc.send_signal(signal.SIGKILL)   # hard kill, no cleanup
-        proc.wait()
-    committed_before = mf.committed_waves(out)
     assert committed_before or proc.returncode == 0
 
     # resume in this session: must skip committed waves, redo the rest
