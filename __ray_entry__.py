@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pmi_pairs": C.q_pmi_pairs,
         "q_inverted_index": C.q_inverted_index,
         "q_ntile_balance": R.q_ntile_balance,
+        "q_cms_tokens": SK.q_cms_tokens,
     }
 
 
@@ -201,6 +202,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_pmi_pairs": C.Q_PMI_SQL,
         "q_inverted_index": C.Q_INVIDX_SQL,
         "q_ntile_balance": R.Q_NTILE_SQL,
+        "q_cms_tokens": SK.Q_CMS_TOKENS_SQL,
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

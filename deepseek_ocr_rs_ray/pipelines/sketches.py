@@ -1,4 +1,5 @@
-"""Distributed sketch operators: HyperLogLog approximate distinct count.
+"""Distributed sketch operators: HyperLogLog approximate distinct count
+and a Count-Min frequency sketch (q_cms_tokens, end of module).
 
 The reference has no approximate aggregates (SURVEY.md §2.5) — at
 10^12-document scale an exact COUNT(DISTINCT) over a high-cardinality key
@@ -155,4 +156,115 @@ SELECT CAST(256 AS BIGINT) AS m,
          / 1e6 AS hll_estimate,
        (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
 FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (approximate frequencies with one-sided error)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_cols(token: str) -> list:
+    """Counter column per hash row: md5("j:token") low 8 bits (same
+    md5-bit trick as HLL/SimHash, mirrored verbatim in the oracle)."""
+    return [int(hashlib.md5(f"{j}:{token}".encode()).hexdigest()[:16], 16)
+            & (CMS_WIDTH - 1) for j in range(CMS_DEPTH)]
+
+
+def q_cms_tokens(sf_dir: str):
+    """Count-Min sketch of token frequencies over documents, reported next
+    to the exact counts so the one-sided error (estimate >= exact, equality
+    unless hashes collide) is visible per token.
+
+    Scale shape: the sketch is the second combiner demo (after HLL) — a
+    per-batch DEPTH×WIDTH integer counter matrix whose merge is SUM, so
+    the shuffle is <= 1024 (row, col) cells per batch at any corpus size.
+    The exact counts come from the vocabulary-bounded token groupby (an
+    open vocab shards tokens by hash — q_top_tokens pattern); the per-token
+    estimate (min over rows of the addressed cells) is a driver-side probe
+    of two bounded tables. All counters are exact int64 on both engines —
+    no float anywhere — so the gate compares hash-exactly.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import textops as T
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def cms_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(T.ascii_tokens(s))
+        rows, cols, ns = [], [], []
+        for tok, n in c.items():
+            for j, col in enumerate(cms_cols(tok)):
+                rows.append(j)
+                cols.append(col)
+                ns.append(n)
+        return pa.table({"j": pa.array(np.array(rows, dtype=np.int64)),
+                         "col": pa.array(np.array(cols, dtype=np.int64)),
+                         "n": pa.array(np.array(ns, dtype=np.int64))})
+
+    counters = (ds.map_batches(cms_partial, batch_format="pyarrow")
+                  .groupby(["j", "col"])
+                  .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    cmat = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    cmat[counters["j"].to_numpy(), counters["col"].to_numpy()] = \
+        counters["n"].to_numpy()
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(T.ascii_tokens(s))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(np.array(list(c.values()),
+                                                dtype=np.int64))})
+
+    exact = (read_table(sf_dir, "documents", ["text"])
+             .map_batches(tok_partial, batch_format="pyarrow")
+             .groupby("token")
+             .aggregate(Sum("n", alias_name="exact_count"))).to_pandas()
+
+    est = np.array([min(cmat[j, col] for j, col in enumerate(cms_cols(tok)))
+                    for tok in exact["token"]], dtype=np.int64)
+    return pd.DataFrame({
+        "token": exact["token"].to_numpy(),
+        "exact_count": exact["exact_count"].astype("int64").to_numpy(),
+        "cms_estimate": est,
+        "overestimate": est - exact["exact_count"].astype("int64").to_numpy(),
+    })
+
+
+# plain ascii_tokens mirror (corpus.py keeps the lowercased variant)
+_SQL_TOKS = (
+    r"CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12)"
+    r" || chr(11)) = '' THEN CAST([] AS VARCHAR[]) "
+    r"ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || "
+    r"chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+') END"
+)
+
+Q_CMS_TOKENS_SQL = rf"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS t FROM documents),
+tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY t),
+h AS (
+  SELECT tc.t, tc.c, js.j,
+         CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || tc.t), 1, 16))::UBIGINT
+              & {CMS_WIDTH - 1} AS BIGINT) AS col
+  FROM tc, (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS j) js
+),
+cnt AS (SELECT j, col, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY j, col),
+est AS (
+  SELECT h.t, MIN(cnt.n) AS cms FROM h
+  JOIN cnt ON h.j = cnt.j AND h.col = cnt.col
+  GROUP BY h.t
+)
+SELECT tc.t AS token, tc.c AS exact_count,
+       CAST(est.cms AS BIGINT) AS cms_estimate,
+       CAST(est.cms - tc.c AS BIGINT) AS overestimate
+FROM tc JOIN est ON tc.t = est.t
 """

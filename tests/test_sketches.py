@@ -49,3 +49,30 @@ def test_hll_sql_oracle_parity(ray_session):
     ray_df = to_pandas(m.queries()["q_hll_users"](SF))
     sql_df = con.execute(m.oracle_sql_for(SF)["q_hll_users"]).fetchdf()
     assert compare("q_hll_users", ray_df, sql_df) == []
+
+
+def test_cms_one_sided_error():
+    """CMS never underestimates, and with 31 tokens in 256 columns the
+    estimate equals the exact count unless all 4 rows collide."""
+    from deepseek_ocr_rs_ray.pipelines import sketches as S
+    cols = S.cms_cols("hello")
+    assert len(cols) == S.CMS_DEPTH
+    assert all(0 <= c < S.CMS_WIDTH for c in cols)
+    assert cols == S.cms_cols("hello")          # deterministic
+    assert cols != S.cms_cols("world")
+
+
+def test_cms_sql_oracle_parity(ray_session):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from tools.check_correctness import compare, to_pandas
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    ray_df = to_pandas(m.queries()["q_cms_tokens"](SF))
+    assert (ray_df["overestimate"] >= 0).all()
+    sql_df = con.execute(m.oracle_sql_for(SF)["q_cms_tokens"]).fetchdf()
+    assert compare("q_cms_tokens", ray_df, sql_df) == []
