@@ -268,3 +268,121 @@ SELECT tc.t AS token, tc.c AS exact_count,
        CAST(est.cms - tc.c AS BIGINT) AS overestimate
 FROM tc JOIN est ON tc.t = est.t
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter-accelerated semi-join (exact result, sketch-pruned shuffle)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 32768
+BLOOM_K = 3
+BLOOM_SEGMENT = "MACHINERY"
+
+
+def bloom_positions(key) -> list:
+    """K bit positions for a key: md5("j:key") low 15 bits — the md5-bit
+    trick again, mirrored verbatim in the oracle."""
+    return [int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:16], 16)
+            & (BLOOM_M - 1) for j in range(BLOOM_K)]
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Semi-join orders ⋉ (customers in one segment) with a Bloom-filter
+    prefilter: the dimension side's keys are folded into a BLOOM_M-bit set
+    (a distributed OR-combiner — per-batch bit positions, bounded-key
+    dedup), the bit set is broadcast, facts are pruned per batch, and only
+    survivors hit the exact membership verify. The result is EXACT (Bloom
+    has no false negatives; the verify removes false positives) — the
+    sketch only shrinks what moves. False positives are reported so the
+    pruning quality is visible.
+
+    Scale shape: pass 1 shuffles at most BLOOM_M distinct bit positions;
+    pass 2 is a pure map + broadcast probe. The exact verify here uses the
+    (dimension-bounded) broadcast key set — at a cardinality where that
+    broadcast won't fit, the verify becomes the partitioned Dataset.join
+    on the Bloom-reduced fact side (the q3/q5 broadcast→join cutover
+    discipline), which is exactly what the prefilter exists to shrink.
+    """
+    import ray
+
+    from .common import cents_arr, read_dim
+
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = np.sort(cust.filter(
+        pa.compute.equal(cust["c_mktsegment"], BLOOM_SEGMENT)
+    )["c_custkey"].to_numpy())
+
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    for k in keys:
+        bits[bloom_positions(int(k))] = True
+    state = ray.put((bits, keys))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bset, kset = ray.get(state)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = cents_arr(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        uniq = np.unique(ck)
+        upass = np.array([all(bset[p] for p in bloom_positions(int(u)))
+                          for u in uniq])
+        pass_keys = uniq[upass]
+        pre = np.isin(ck, pass_keys)
+        true_m = np.isin(ck, kset)          # exact verify (broadcast side)
+        return pa.table({
+            "prefilter_pass": pa.array([np.int64(pre.sum())]),
+            "n_orders": pa.array([np.int64(true_m.sum())]),
+            "revenue_cents": pa.array([np.int64(cents[true_m].sum())]),
+        })
+
+    ds = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    parts = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    pre = int(parts["prefilter_pass"].sum())
+    n = int(parts["n_orders"].sum())
+    return single_row({
+        "bloom_m": np.int64(BLOOM_M),
+        "bloom_k": np.int64(BLOOM_K),
+        "bits_set": np.int64(int(bits.sum())),
+        "prefilter_pass": np.int64(pre),
+        "n_orders": np.int64(n),
+        "false_positives": np.int64(pre - n),
+        "revenue_cents": np.int64(int(parts["revenue_cents"].sum())),
+    })
+
+
+Q_BLOOM_SEMI_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM customer
+  WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+),
+js AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                  CAST(c_custkey AS VARCHAR)), 1, 16))::UBIGINT
+              & {BLOOM_M - 1} AS BIGINT) AS b
+  FROM keys, js
+),
+opos AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+                                  CAST(o_custkey AS VARCHAR)), 1, 16))::UBIGINT
+              & {BLOOM_M - 1} AS BIGINT) AS b
+  FROM orders, js
+),
+op AS (
+  SELECT o_orderkey, o_custkey, MAX(cents) AS cents,
+         SUM(CASE WHEN b IN (SELECT b FROM bits) THEN 1 ELSE 0 END) AS hits
+  FROM opos GROUP BY o_orderkey, o_custkey
+),
+pass AS (SELECT * FROM op WHERE hits = {BLOOM_K}),
+truem AS (SELECT p.* FROM pass p JOIN keys k ON p.o_custkey = k.c_custkey)
+SELECT CAST({BLOOM_M} AS BIGINT) AS bloom_m,
+       CAST({BLOOM_K} AS BIGINT) AS bloom_k,
+       (SELECT COUNT(*) FROM bits) AS bits_set,
+       (SELECT COUNT(*) FROM pass) AS prefilter_pass,
+       (SELECT COUNT(*) FROM truem) AS n_orders,
+       (SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM truem)
+         AS false_positives,
+       (SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) FROM truem)
+         AS revenue_cents
+"""

@@ -76,3 +76,25 @@ def test_cms_sql_oracle_parity(ray_session):
     assert (ray_df["overestimate"] >= 0).all()
     sql_df = con.execute(m.oracle_sql_for(SF)["q_cms_tokens"]).fetchdf()
     assert compare("q_cms_tokens", ray_df, sql_df) == []
+
+
+def test_bloom_no_false_negatives_and_parity(ray_session):
+    """Every true member passes the Bloom prefilter (no false negatives),
+    so prefilter_pass >= n_orders always; oracle parity (dtype-strict)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from tools.check_correctness import compare, to_pandas
+    ray_df = to_pandas(m.queries()["q_bloom_semi_join"](SF))
+    r = ray_df.iloc[0]
+    assert r["prefilter_pass"] >= r["n_orders"]
+    assert r["false_positives"] == r["prefilter_pass"] - r["n_orders"]
+    assert 0 < r["bits_set"] <= min(3 * 10**6, r["bloom_m"])
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    sql_df = con.execute(m.oracle_sql_for(SF)["q_bloom_semi_join"]).fetchdf()
+    assert compare("q_bloom_semi_join", ray_df, sql_df) == []
