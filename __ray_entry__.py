@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ntile_balance": R.q_ntile_balance,
         "q_cms_tokens": SK.q_cms_tokens,
         "q_bloom_semi_join": SK.q_bloom_semi_join,
+        "x_curation_pipeline": Q.x_curation_pipeline,
     }
 
 
@@ -205,6 +206,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_ntile_balance": R.Q_NTILE_SQL,
         "q_cms_tokens": SK.Q_CMS_TOKENS_SQL,
         "q_bloom_semi_join": SK.Q_BLOOM_SEMI_SQL,
+        "x_curation_pipeline": Q.curation_pipeline_sql(sf_dir),
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

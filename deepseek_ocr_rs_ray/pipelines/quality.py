@@ -223,3 +223,93 @@ SELECT toks.doc_id,
             ELSE 0.0e0 END AS entropy
 FROM toks LEFT JOIN a ON toks.doc_id = a.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline: quality gate → embedding join → semantic dedup
+# ---------------------------------------------------------------------------
+
+def x_curation_pipeline(sf_dir: str):
+    """End-to-end curation summary: documents pass the Gopher repetition
+    gate, survivors are joined to their embedding row (doc_id = vec_id;
+    docs without one drop out — the fixture's embedding table covers a
+    prefix of the corpus at larger sfs), and the SemDeDup verdict prunes
+    semantic near-dups. One exact-integer summary row.
+
+    Composition shape: q_semdedup's bounded per-vector verdict is computed
+    once and broadcast (dimension-sized here; at corpus scale the verdict
+    join becomes a partitioned Dataset.join keyed on doc_id — the q3/q5
+    cutover discipline); the corpus-sized side is ONE map_batches pass
+    over documents carrying per-batch partial sums only.
+    """
+    import ray
+
+    from . import corpus as C
+
+    sd = C.q_semdedup(sf_dir).to_pandas()
+    keep_ids = np.sort(sd.loc[sd["keep"] == 1, "vec_id"].to_numpy())
+    emb_ids = np.sort(sd["vec_id"].to_numpy())
+    state = ray.put((keep_ids, emb_ids))
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        kset, eset = ray.get(state)
+        texts = t.column("text").to_pylist()
+        rows = [gopher_repetition_row(s) for s in texts]
+        n_chars = np.array([r[0] for r in rows], dtype=np.int64)
+        top2 = np.array([r[1] for r in rows], dtype=np.int64)
+        dup3 = np.array([r[2] for r in rows], dtype=np.int64)
+        top2_frac = top2.astype(np.float64) / n_chars.astype(np.float64)
+        dup3_frac = dup3.astype(np.float64) / n_chars.astype(np.float64)
+        gkeep = ~((top2_frac > GOPHER_TOP2_MAX)
+                  | (dup3_frac > GOPHER_DUP3_MAX))
+        ntok = np.array([T.ws_token_count(s) for s in texts], dtype=np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        has_emb = gkeep & np.isin(doc, eset)
+        surv = has_emb & np.isin(doc, kset)
+        return pa.table({
+            "n_docs": pa.array([np.int64(len(texts))]),
+            "n_gopher_kept": pa.array([np.int64(gkeep.sum())]),
+            "n_with_embedding": pa.array([np.int64(has_emb.sum())]),
+            "n_survivors": pa.array([np.int64(surv.sum())]),
+            "survivor_tokens": pa.array([np.int64(ntok[surv].sum())]),
+            "survivor_id_sum": pa.array([np.int64(doc[surv].sum())]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    from .common import single_row
+    return single_row({c: np.int64(parts[c].sum()) for c in parts.columns})
+
+
+_WS_TOKENS_EXPR = (
+    rf"CASE WHEN {_TRIM} = '' THEN 0 ELSE len(regexp_split_to_array("
+    rf"{_TRIM}, '{SQL_ASCII_WS_PATTERN}')) END"
+)
+
+
+def curation_pipeline_sql(sf_dir: str) -> str:
+    from . import corpus as C
+    return f"""
+WITH g AS ({Q_GOPHER_SQL}),
+s AS ({C.semdedup_sql(sf_dir)}),
+j AS (
+  SELECT g.doc_id, g.keep AS gkeep,
+         CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END AS has_emb,
+         CASE WHEN g.keep = 1 AND s.keep = 1 THEN 1 ELSE 0 END AS surv0,
+         {_WS_TOKENS_EXPR} AS ws_tokens
+  FROM g
+  LEFT JOIN s ON g.doc_id = s.vec_id
+  JOIN documents ON documents.doc_id = g.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(gkeep) AS BIGINT) AS n_gopher_kept,
+       CAST(SUM(CASE WHEN gkeep = 1 THEN has_emb ELSE 0 END) AS BIGINT)
+         AS n_with_embedding,
+       CAST(SUM(surv0) AS BIGINT) AS n_survivors,
+       CAST(SUM(CASE WHEN surv0 = 1 THEN ws_tokens ELSE 0 END) AS BIGINT)
+         AS survivor_tokens,
+       CAST(SUM(CASE WHEN surv0 = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS survivor_id_sum
+FROM j
+"""

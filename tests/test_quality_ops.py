@@ -69,3 +69,25 @@ def test_quality_sql_oracle_parity_small(ray_session, qname):
     ray_df = to_pandas(m.queries()[qname](SF))
     sql_df = con.execute(m.oracle_sql_for(SF)[qname]).fetchdf()
     assert compare(qname, ray_df, sql_df) == []
+
+
+def test_curation_pipeline_funnel_and_parity(ray_session):
+    """The curation funnel is monotone (docs >= gopher-kept >=
+    with-embedding >= survivors) and oracle-exact."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from tools.check_correctness import compare, to_pandas
+    ray_df = to_pandas(m.queries()["x_curation_pipeline"](SF))
+    r = ray_df.iloc[0]
+    assert (r["n_docs"] >= r["n_gopher_kept"] >= r["n_with_embedding"]
+            >= r["n_survivors"] > 0)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    sql_df = con.execute(
+        m.oracle_sql_for(SF)["x_curation_pipeline"]).fetchdf()
+    assert compare("x_curation_pipeline", ray_df, sql_df) == []
