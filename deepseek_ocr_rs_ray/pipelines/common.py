@@ -68,5 +68,15 @@ SQL_ASCII_TRIM = ("trim({col}, ' ' || chr(9) || chr(10) || chr(13) || "
 SQL_ASCII_WS_PATTERN = r"[ \t\n\f\r\v]+"
 
 
+def sql_tok_array(col: str) -> str:
+    """``textops.ascii_tokens`` mirror as a SQL expression — the ONE
+    canonical spelling of the ASCII-whitespace token array (empty/all-ws
+    input → empty list, matching the Python kernel)."""
+    trim = SQL_ASCII_TRIM.format(col=col)
+    return (f"CASE WHEN {trim} = '' THEN CAST([] AS VARCHAR[]) "
+            f"ELSE regexp_split_to_array({trim}, "
+            f"'{SQL_ASCII_WS_PATTERN}') END")
+
+
 def single_row(d: dict) -> pa.Table:
     return pa.table({k: [v] for k, v in d.items()})

@@ -951,9 +951,10 @@ def minhash_signatures_batch(texts, a: np.ndarray,
 
 
 MINHASH_PAIR_CAP = 2_000_000
+MINHASH_THRESHOLD = 0.5  # default mining threshold (oracle aux stamps key on it)
 
 
-def q_minhash_pairs(sf_dir: str, threshold: float = 0.5,
+def q_minhash_pairs(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
                     broadcast_cap: int = MINHASH_PAIR_CAP):
     """MinHash+LSH candidate mining → exact shingle-Jaccard verification.
 
@@ -1094,7 +1095,8 @@ def q_minhash_pairs(sf_dir: str, threshold: float = 0.5,
     return survivors.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def q_minhash_dedup(sf_dir: str, threshold: float = 0.5):
+def q_minhash_dedup(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
+                    pair_cap: int = None):
     """End-to-end near-dup DEDUP, keep-first (the D4 semantics at corpus
     scale, driven by MinHash+LSH instead of exact hashes): every document
     maps to the min doc_id of its connected component in the verified-pair
@@ -1106,23 +1108,46 @@ def q_minhash_dedup(sf_dir: str, threshold: float = 0.5):
                         sig) triples; cap-guarded verify with join cutover
       union-find        O(verified pairs · α) on the driver — the pair list
                         is the SMALL side (O(dup rate), not O(corpus));
-                        above DUP_CLUSTER_PAIR_CAP the right scale path is
-                        _dup_clusters_distributed (min-label propagation),
-                        as in q_dup_clusters
-      labeling          the doc→canonical map (dups only) broadcasts once
-                        via ray.put; one streaming map over the corpus
-                        attaches canonical_id — the documents table itself
-                        is never shuffled or collected.
+                        above DUP_CLUSTER_PAIR_CAP it cuts over to
+                        _dup_clusters_distributed (min-label propagation)
+                        + a partitioned Dataset.join of the label table
+                        against the corpus (no dict broadcast), the same
+                        discipline as q_dup_clusters — parity-tested with
+                        a forced tiny cap
+      labeling          fast path: the doc→canonical map (dups only)
+                        broadcasts once via ray.put; one streaming map over
+                        the corpus attaches canonical_id — the documents
+                        table itself is never shuffled or collected.
     """
     import ray
+    if pair_cap is None:
+        pair_cap = DUP_CLUSTER_PAIR_CAP
     pairs = q_minhash_pairs(sf_dir, threshold)
-    if len(pairs) > DUP_CLUSTER_PAIR_CAP:      # safety rail (see docstring)
-        raise ValueError(
-            f"verified pair list ({len(pairs)}) exceeds DUP_CLUSTER_PAIR_CAP"
-            " — route through _dup_clusters_distributed for this corpus")
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+    if len(pairs) > pair_cap:
+        import ray.data as rd
+        lab = _dup_clusters_distributed(rd.from_pandas(pairs[["a", "b"]]))
+        lab_ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": lab["vec_id"].astype("int64"),
+            "canon": lab["cluster_id"].astype("int64")}))
+        n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        joined = docs.join(lab_ds, join_type="left_outer",
+                           num_partitions=n_parts, on=("doc_id",))
+
+        def fill(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy(dtype=np.int64)
+            can = (df["canon"]
+                   .fillna(pd.Series(ids, index=df.index))
+                   .to_numpy(dtype=np.int64))
+            return pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "canonical_id": pd.Series(can, dtype="int64"),
+                "keep": pd.Series((can == ids).astype(np.int64)),
+            })
+
+        return joined.map_batches(fill, batch_format="pandas")
     labels = _union_find_labels(pairs)
     canon_ref = ray.put(labels)
-    docs = read_table(sf_dir, "documents", ["doc_id"])
 
     def label(t: pa.Table) -> pa.Table:
         m = ray.get(canon_ref)
@@ -1244,7 +1269,7 @@ def _minhash_verify_join(docs, cand, pshard_fn, verify_fn) -> pd.DataFrame:
 _MINHASH_EXPECTED_CACHE: dict = {}
 
 
-def _expected_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+def _expected_minhash_pairs(sf_dir: str, threshold: float = MINHASH_THRESHOLD) -> pa.Table:
     """Single-process naive port of the MinHash-LSH mine+verify (the oracle
     discipline used for the extraction golden rows): same shared kernels
     (``shingle_hashes``/``minhash_signature``), same band fold, same
@@ -1847,18 +1872,25 @@ def prepare_oracle_aux(sf_dir: str, force: bool = False) -> None:
                     return
         except OSError:
             pass
+    # every multi-writer aux goes through _ensure_aux with the SAME
+    # builder/extra the query-side call uses, so the per-file stamps stay
+    # truthful (a direct _write_aux_table here would leave a stale stamp
+    # and a later non-default-parameter query call would skip against the
+    # wrong expected content)
     _ensure_payload_meta_aux(sf_dir)
     _write_expected_thumbnails(sf_dir)
-    ft, rt = _expected_features_frames(sf_dir)
-    _write_aux_table(ft, "features_expected.parquet", sf_dir)
-    _write_aux_table(rt, "frames_expected.parquet", sf_dir)
+    _ensure_aux("features_expected.parquet", sf_dir,
+                lambda: _expected_features_frames(sf_dir)[0])
+    _ensure_aux("frames_expected.parquet", sf_dir,
+                lambda: _expected_features_frames(sf_dir)[1])
     _write_expected_extract(sf_dir)
-    _write_aux_table(_expected_manifest_table(sf_dir),
-                     "manifest_expected.parquet", sf_dir)
+    _ensure_aux("manifest_expected.parquet", sf_dir,
+                lambda: _expected_manifest_table(sf_dir))
     _write_expected_corpus_summary(sf_dir)
     _write_centroids_aux(_ivf_centroids(sf_dir), sf_dir)
-    _write_aux_table(_expected_minhash_pairs(sf_dir),
-                     "minhash_pairs_expected.parquet", sf_dir)
+    _ensure_aux("minhash_pairs_expected.parquet", sf_dir,
+                lambda: _expected_minhash_pairs(sf_dir),
+                extra=f"t={MINHASH_THRESHOLD}")
     with open(stamp_path + ".tmp", "w") as f:
         f.write(stamp)
     os.replace(stamp_path + ".tmp", stamp_path)
@@ -2808,13 +2840,11 @@ def q_pmi_pairs(sf_dir: str):
                          "pmi": np.array(pmi, dtype=np.float64)})
 
 
-# plain ascii_tokens mirror (no lowercasing — unlike _SQL_LOWER_TOKS)
-_SQL_TOK_ARRAY = (
-    r"CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12)"
-    r" || chr(11)) = '' THEN CAST([] AS VARCHAR[]) "
-    r"ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || "
-    r"chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+') END"
-)
+# plain ascii_tokens mirror (no lowercasing — unlike _SQL_LOWER_TOKS);
+# composed from the canonical spelling in common.sql_tok_array
+from .common import sql_tok_array as _sql_tok_array
+
+_SQL_TOK_ARRAY = _sql_tok_array("text")
 
 _PMI_TOKS = rf"""
 dtoks AS (

@@ -45,7 +45,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions import textops as T
-from .common import SQL_ASCII_TRIM, SQL_ASCII_WS_PATTERN, read_table
+from .common import (SQL_ASCII_TRIM, SQL_ASCII_WS_PATTERN,
+                     read_table, sql_tok_array)
 
 GOPHER_TOP2_MAX = 0.2  # Gopher Table A1: top-2-gram char fraction
 GOPHER_DUP3_MAX = 0.15  # Gopher dup-5-gram threshold, applied at n=3 (see above)
@@ -71,6 +72,25 @@ def gopher_repetition_row(s: str) -> tuple:
     return len(s), top2, dup3
 
 
+def gopher_batch_stats(texts) -> dict:
+    """Batch-level Gopher arrays shared by q_gopher_repetition and
+    x_curation_pipeline (ONE spelling of the keep predicate). Empty texts
+    get fractions of exactly 0.0 (keep=1) — mirrored in the SQL with a
+    CASE on n_chars=0, where DuckDB's 0/0 would otherwise yield NULL and
+    break the dtype-strict gate."""
+    rows = [gopher_repetition_row(s) for s in texts]
+    n_chars = np.array([r[0] for r in rows], dtype=np.int64)
+    top2 = np.array([r[1] for r in rows], dtype=np.int64)
+    dup3 = np.array([r[2] for r in rows], dtype=np.int64)
+    denom = np.where(n_chars > 0, n_chars, 1).astype(np.float64)
+    top2_frac = top2.astype(np.float64) / denom
+    dup3_frac = dup3.astype(np.float64) / denom
+    keep = (~((top2_frac > GOPHER_TOP2_MAX)
+              | (dup3_frac > GOPHER_DUP3_MAX))).astype(np.int64)
+    return {"n_chars": n_chars, "top2_chars": top2, "dup3_chars": dup3,
+            "top2_frac": top2_frac, "dup3_frac": dup3_frac, "keep": keep}
+
+
 def q_gopher_repetition(sf_dir: str):
     """Per-doc Gopher repetition signals + keep flag (pure map, no shuffle).
 
@@ -81,24 +101,9 @@ def q_gopher_repetition(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        rows = [gopher_repetition_row(s) for s in texts]
-        n_chars = np.array([r[0] for r in rows], dtype=np.int64)
-        top2 = np.array([r[1] for r in rows], dtype=np.int64)
-        dup3 = np.array([r[2] for r in rows], dtype=np.int64)
-        top2_frac = top2.astype(np.float64) / n_chars.astype(np.float64)
-        dup3_frac = dup3.astype(np.float64) / n_chars.astype(np.float64)
-        keep = (~((top2_frac > GOPHER_TOP2_MAX)
-                  | (dup3_frac > GOPHER_DUP3_MAX))).astype(np.int64)
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "n_chars": pa.array(n_chars),
-            "top2_chars": pa.array(top2),
-            "dup3_chars": pa.array(dup3),
-            "top2_frac": pa.array(top2_frac),
-            "dup3_frac": pa.array(dup3_frac),
-            "keep": pa.array(keep),
-        })
+        g = gopher_batch_stats(t.column("text").to_pylist())
+        return pa.table({"doc_id": t["doc_id"],
+                         **{k: pa.array(v) for k, v in g.items()}})
 
     return ds.map_batches(f, batch_format="pyarrow")
 
@@ -108,9 +113,7 @@ _TRIM = SQL_ASCII_TRIM.format(col="text")
 _SQL_TOKS_IDX = rf"""
 toks AS (
   SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-         CASE WHEN {_TRIM} = '' THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array({_TRIM}, '{SQL_ASCII_WS_PATTERN}')
-         END AS tok
+         {sql_tok_array("text")} AS tok
   FROM documents
 ),
 idx AS (
@@ -151,10 +154,12 @@ j AS (
   SELECT toks.doc_id, toks.n_chars,
          COALESCE(a2.top2_chars, 0) AS top2_chars,
          COALESCE(a3.dup3_chars, 0) AS dup3_chars,
-         CAST(COALESCE(a2.top2_chars, 0) AS DOUBLE)
-           / CAST(toks.n_chars AS DOUBLE) AS top2_frac,
-         CAST(COALESCE(a3.dup3_chars, 0) AS DOUBLE)
-           / CAST(toks.n_chars AS DOUBLE) AS dup3_frac
+         CASE WHEN toks.n_chars = 0 THEN 0.0e0
+              ELSE CAST(COALESCE(a2.top2_chars, 0) AS DOUBLE)
+                   / CAST(toks.n_chars AS DOUBLE) END AS top2_frac,
+         CASE WHEN toks.n_chars = 0 THEN 0.0e0
+              ELSE CAST(COALESCE(a3.dup3_chars, 0) AS DOUBLE)
+                   / CAST(toks.n_chars AS DOUBLE) END AS dup3_frac
   FROM toks
   LEFT JOIN a2 ON toks.doc_id = a2.doc_id
   LEFT JOIN a3 ON toks.doc_id = a3.doc_id
@@ -256,14 +261,7 @@ def x_curation_pipeline(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         kset, eset = ray.get(state)
         texts = t.column("text").to_pylist()
-        rows = [gopher_repetition_row(s) for s in texts]
-        n_chars = np.array([r[0] for r in rows], dtype=np.int64)
-        top2 = np.array([r[1] for r in rows], dtype=np.int64)
-        dup3 = np.array([r[2] for r in rows], dtype=np.int64)
-        top2_frac = top2.astype(np.float64) / n_chars.astype(np.float64)
-        dup3_frac = dup3.astype(np.float64) / n_chars.astype(np.float64)
-        gkeep = ~((top2_frac > GOPHER_TOP2_MAX)
-                  | (dup3_frac > GOPHER_DUP3_MAX))
+        gkeep = gopher_batch_stats(texts)["keep"].astype(bool)
         ntok = np.array([T.ws_token_count(s) for s in texts], dtype=np.int64)
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
         has_emb = gkeep & np.isin(doc, eset)

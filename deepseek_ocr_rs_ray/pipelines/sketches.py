@@ -79,7 +79,7 @@ def q_hll_users(sf_dir: str):
     nunique). At 10^12 keys only the sketch pass survives; the exact side
     exists because the fixture is small enough to afford the oracle.
     """
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Max
 
     ds = read_table(sf_dir, "events", ["user_id"])
 
@@ -240,13 +240,12 @@ def q_cms_tokens(sf_dir: str):
     })
 
 
-# plain ascii_tokens mirror (corpus.py keeps the lowercased variant)
-_SQL_TOKS = (
-    r"CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12)"
-    r" || chr(11)) = '' THEN CAST([] AS VARCHAR[]) "
-    r"ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || "
-    r"chr(13) || chr(12) || chr(11)), '[ \t\n\f\r\v]+') END"
-)
+# plain ascii_tokens mirror, composed from the ONE canonical spelling of
+# the ASCII-whitespace set (common.sql_tok_array; corpus.py keeps the
+# lowercased variant)
+from .common import sql_tok_array as _sql_tok_array  # noqa: E402
+
+_SQL_TOKS = _sql_tok_array("text")
 
 Q_CMS_TOKENS_SQL = rf"""
 WITH toks AS (SELECT unnest({_SQL_TOKS}) AS t FROM documents),
@@ -322,8 +321,10 @@ def q_bloom_semi_join(sf_dir: str):
         ck = t["o_custkey"].to_numpy(zero_copy_only=False)
         cents = cents_arr(t["o_totalprice"]).to_numpy(zero_copy_only=False)
         uniq = np.unique(ck)
+        # dtype=bool: an empty comprehension would otherwise yield float64
+        # and uniq[upass] raises on a zero-row block
         upass = np.array([all(bset[p] for p in bloom_positions(int(u)))
-                          for u in uniq])
+                          for u in uniq], dtype=bool)
         pass_keys = uniq[upass]
         pre = np.isin(ck, pass_keys)
         true_m = np.isin(ck, kset)          # exact verify (broadcast side)

@@ -289,3 +289,16 @@ def test_inverted_index_postings_semantics(ray_session):
         ids = [int(x) for x in r["postings"].split(",")]
         assert ids == sorted(ids)
         assert len(ids) == min(r["n_docs"], INVIDX_POSTINGS_CAP)
+
+
+def test_minhash_dedup_distributed_cutover_parity(ray_session):
+    """Forcing a tiny pair_cap routes q_minhash_dedup through the
+    distributed label-propagation + join path; output must be identical
+    to the broadcast fast path."""
+    fast = (C.q_minhash_dedup(SF).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    dist = (C.q_minhash_dedup(SF, pair_cap=1).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert fast.equals(dist)
+    assert (fast.loc[fast["keep"] == 1, "canonical_id"]
+            == fast.loc[fast["keep"] == 1, "doc_id"]).all()

@@ -91,3 +91,31 @@ def test_curation_pipeline_funnel_and_parity(ray_session):
     sql_df = con.execute(
         m.oracle_sql_for(SF)["x_curation_pipeline"]).fetchdf()
     assert compare("x_curation_pipeline", ray_df, sql_df) == []
+
+
+def test_gopher_empty_text_cross_engine(ray_session, tmp_path):
+    """Empty / whitespace-only docs: fractions exactly 0.0 and keep=1 on
+    BOTH engines (DuckDB 0/0 would be NULL without the CASE guard)."""
+    import duckdb
+    import pandas as pd
+
+    from deepseek_ocr_rs_ray.pipelines.quality import Q_GOPHER_SQL
+    d = tmp_path / "sf"
+    d.mkdir()
+    pd.DataFrame({"doc_id": [0, 1, 2],
+                  "text": ["", "   \t  ", "normal words here"]}).to_parquet(
+        d / "documents.parquet")
+    ray_df = (Q.q_gopher_repetition(str(d)).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    sql_df = (con.execute(Q_GOPHER_SQL).fetchdf()
+              .sort_values("doc_id").reset_index(drop=True))
+    assert ray_df["top2_frac"].tolist() == sql_df["top2_frac"].tolist()
+    assert ray_df["keep"].tolist() == sql_df["keep"].tolist()
+    # the empty/whitespace docs keep=1 with fractions exactly 0.0 (the
+    # third, a short doc whose longest bigram tops 20% of chars, drops)
+    assert ray_df["keep"].tolist()[:2] == [1, 1]
+    assert ray_df["top2_frac"].tolist()[:2] == [0.0, 0.0]
+    assert str(sql_df["keep"].dtype) == "int64"   # no NULL→float64 poison

@@ -51,15 +51,27 @@ def test_hll_sql_oracle_parity(ray_session):
     assert compare("q_hll_users", ray_df, sql_df) == []
 
 
-def test_cms_one_sided_error():
-    """CMS never underestimates, and with 31 tokens in 256 columns the
-    estimate equals the exact count unless all 4 rows collide."""
+def test_cms_cols_deterministic_and_one_sided():
+    """cms_cols is deterministic and in range; a hand-built counter matrix
+    shows the estimator's one-sided property (min over addressed cells is
+    >= the true count, exactly equal without collisions)."""
+    from collections import Counter
+
     from deepseek_ocr_rs_ray.pipelines import sketches as S
     cols = S.cms_cols("hello")
     assert len(cols) == S.CMS_DEPTH
     assert all(0 <= c < S.CMS_WIDTH for c in cols)
     assert cols == S.cms_cols("hello")          # deterministic
     assert cols != S.cms_cols("world")
+    # synthetic sketch over a small multiset
+    counts = Counter({"alpha": 7, "beta": 3, "gamma": 11})
+    cmat = np.zeros((S.CMS_DEPTH, S.CMS_WIDTH), dtype=np.int64)
+    for tok, n in counts.items():
+        for j, col in enumerate(S.cms_cols(tok)):
+            cmat[j, col] += n
+    for tok, n in counts.items():
+        est = min(cmat[j, col] for j, col in enumerate(S.cms_cols(tok)))
+        assert est >= n                          # never underestimates
 
 
 def test_cms_sql_oracle_parity(ray_session):
