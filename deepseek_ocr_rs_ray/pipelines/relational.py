@@ -41,6 +41,26 @@ def probe_sorted(keys_sorted: np.ndarray, values: np.ndarray,
     hit = keys_sorted[idx] == probe
     return np.where(hit, values[idx], default)
 
+
+ORDER_BUCKET_BITS = 16
+
+
+def f64_order_bucket(x: np.ndarray, bits: int = ORDER_BUCKET_BITS) -> np.ndarray:
+    """Order-preserving bucket id for float64 values (NaN-free): the IEEE
+    bit pattern mapped monotonically to uint64 (negatives bit-flipped,
+    positives sign-flipped), truncated to the top ``bits`` bits.
+
+    x < y  ⇒  bucket(x) <= bucket(y), and equal values always share a
+    bucket — the range-partitioning primitive the distributed rank /
+    order-statistic queries build on. Purely value-local (no sampling, no
+    driver pass), so any worker computes the same bucket for the same
+    value at any parallelism.
+    """
+    b = np.ascontiguousarray(x, dtype=np.float64).view(np.uint64)
+    neg = b >> np.uint64(63) != 0
+    mono = np.where(neg, ~b, b | np.uint64(1 << 63))
+    return (mono >> np.uint64(64 - bits)).astype(np.int64)
+
 CUTOFF = "1998-09-02"
 Q3_DATE = "1998-03-15"
 Q5_DATE_LO, Q5_DATE_HI = "1996-01-01", "1998-01-01"
@@ -1080,22 +1100,94 @@ FROM customer GROUP BY 1
 # per-group discrete percentiles (exact order statistics)
 # ---------------------------------------------------------------------------
 
-def q_value_percentiles(sf_dir: str):
+PCT_STATS = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+
+
+def q_value_percentiles(sf_dir: str, order_bits: int = ORDER_BUCKET_BITS):
     """p50/p90/p99 of event values per type as exact order statistics —
     sorted[ceil(q*n)-1], DuckDB's quantile_disc convention, so the selected
-    element (an unmodified input double) matches the oracle bit-for-bit."""
-    ds = read_table(sf_dir, "events", ["event_type", "value"])
+    element (an unmodified input double) matches the oracle bit-for-bit.
 
-    def pct(g: pd.DataFrame) -> pd.DataFrame:
+    Distributed selection, not whole-group sorts: values range-partition
+    into order-preserving buckets (``f64_order_bucket``); pass 1
+    pre-aggregates per-(type, bucket) counts (a bounded-cardinality
+    groupby), the driver prefix-sums them to locate the single bucket
+    holding each target rank, and pass 2 touches ONLY those buckets —
+    each task sorts one bucket of one type (~group/2^bits of the data),
+    never an entire group. Degenerate distributions (every value equal)
+    collapse to one bucket = one whole-group sort, i.e. never worse than
+    the naive shape.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        b = f64_order_bucket(t["value"].to_numpy(zero_copy_only=False),
+                             order_bits)
+        tmp = pa.table({"event_type": t["event_type"],
+                        "bucket": pa.array(b),
+                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return tmp.group_by(["event_type", "bucket"]).aggregate(
+            [("n", "sum")])
+
+    counts = (read_table(sf_dir, "events", ["event_type", "value"])
+              .map_batches(counts_partial, batch_format="pyarrow")
+              .groupby(["event_type", "bucket"])
+              .aggregate(Sum("n_sum", alias_name="n"))
+              .to_pandas())
+
+    # driver plan: per type, which bucket holds each target rank and at
+    # what local (in-bucket) rank — O(types × stats) rows, tiny
+    plan: dict = {}          # (event_type, bucket) -> [(stat, local_rank)]
+    totals: dict = {}
+    for etype, g in counts.groupby("event_type"):
+        g = g.sort_values("bucket")
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        buckets = g["bucket"].to_numpy(dtype=np.int64)
+        n = int(cum[-1])
+        totals[etype] = n
+        for stat, q in PCT_STATS:
+            t_rank = int(np.ceil(q * n))        # identical expr to the oracle
+            i = int(np.searchsorted(cum, t_rank))
+            local = t_rank - (int(cum[i - 1]) if i else 0)
+            plan.setdefault((etype, int(buckets[i])), []).append((stat, local))
+    plan_ref = ray.put(plan)
+
+    def keep_targets(t: pa.Table) -> pa.Table:
+        p = ray.get(plan_ref)
+        b = f64_order_bucket(t["value"].to_numpy(zero_copy_only=False),
+                             order_bits)
+        # O(types × stats) vectorized equality passes — no per-row Python
+        mask = np.zeros(t.num_rows, dtype=bool)
+        for (e, bk) in p:
+            mask |= (pc.equal(t["event_type"], pa.scalar(e))
+                     .to_numpy(zero_copy_only=False) & (b == bk))
+        t = t.filter(pa.array(mask))
+        return t.append_column("bucket", pa.array(
+            f64_order_bucket(t["value"].to_numpy(zero_copy_only=False),
+                             order_bits)))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(plan_ref)
+        key = (g["event_type"].iloc[0], int(g["bucket"].iloc[0]))
         v = np.sort(g["value"].to_numpy(dtype=np.float64))
-        n = len(v)
-        pick = lambda q: v[int(np.ceil(q * n)) - 1]
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "p50": [pick(0.5)], "p90": [pick(0.9)],
-                             "p99": [pick(0.99)],
-                             "n_events": [np.int64(n)]})
+        stats = p[key]
+        return pd.DataFrame({
+            "event_type": [key[0]] * len(stats),
+            "stat": [s for s, _ in stats],
+            "value": [v[r - 1] for _, r in stats],
+        })
 
-    return ds.groupby("event_type").map_groups(pct, batch_format="pandas")
+    picked = (read_table(sf_dir, "events", ["event_type", "value"])
+              .map_batches(keep_targets, batch_format="pyarrow")
+              .groupby(["event_type", "bucket"])
+              .map_groups(pick, batch_format="pandas")
+              .to_pandas())
+    out = (picked.pivot(index="event_type", columns="stat", values="value")
+           .reset_index())
+    out.columns.name = None
+    out["n_events"] = out["event_type"].map(totals).astype("int64")
+    return out[["event_type", "p50", "p90", "p99", "n_events"]]
 
 
 Q_PERCENTILES_SQL = """
@@ -1450,34 +1542,84 @@ FROM nation n LEFT JOIN (
 # NTILE window function (equal-frequency bucketing per partition)
 # ---------------------------------------------------------------------------
 
-def q_ntile_balance(sf_dir: str):
+def _ntile_of_rank(r: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE bucket of global rank r (1-based) among n rows: the first
+    n%k buckets get ceil(n/k) rows, the rest floor(n/k) — vectorized."""
+    base, rem = divmod(n, k)
+    cut = rem * (base + 1)
+    lead = (r - 1) // (base + 1) + 1
+    tail = rem + (r - 1 - cut) // max(base, 1) + 1   # base=0 ⇒ branch unused
+    return np.where(r <= cut, lead, tail).astype(np.int64)
+
+
+def q_ntile_balance(sf_dir: str, order_bits: int = ORDER_BUCKET_BITS):
     """Quartile (NTILE(4)) of every customer's account balance within its
     market segment, deterministic under the (c_acctbal, c_custkey) order.
 
     Completes the window-function family (rank/row_number, LAG/gaps,
-    running totals, percentiles already exist). Scale shape: one shuffle
-    groups by segment (5 bounded partitions); NTILE is computed per group
-    with the exact SQL size rule — ceil-sized leading buckets — so both
-    engines agree on every boundary row.
+    running totals, percentiles already exist). Distributed rank, not a
+    whole-segment sort: the two-phase shard-rank pattern of ``q_pack_bins``
+    over order-preserving value buckets (``f64_order_bucket``) — phase 1
+    pre-aggregates per-(segment, bucket) row counts, the driver
+    prefix-sums them into bucket offsets (O(segments × non-empty buckets)
+    rows), phase 2 co-groups each (segment, bucket), sorts locally by
+    (c_acctbal, c_custkey) and adds the offset: local rank + offset is the
+    exact global rank, which maps to the SQL NTILE bucket sizes
+    (ceil-sized leading buckets). No task ever materializes more than one
+    value-bucket of one segment.
     """
+    import ray
+    from ray.data.aggregate import Sum
+    NT = 4
     ds = read_table(sf_dir, "customer",
                     ["c_custkey", "c_mktsegment", "c_acctbal"])
 
-    def ntile(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["c_acctbal", "c_custkey"]).reset_index(drop=True)
-        n = len(g)
-        k = 4
-        base, rem = divmod(n, k)
-        # SQL NTILE: first `rem` buckets get base+1 rows, the rest base
-        sizes = np.full(k, base, dtype=np.int64)
-        sizes[:rem] += 1
-        q = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)[:n]
-        return pd.DataFrame({"c_custkey": g["c_custkey"].astype("int64"),
-                             "c_mktsegment": g["c_mktsegment"],
-                             "quartile": q})
+    def counts_partial(t: pa.Table) -> pa.Table:
+        b = f64_order_bucket(t["c_acctbal"].to_numpy(zero_copy_only=False),
+                             order_bits)
+        tmp = pa.table({"c_mktsegment": t["c_mktsegment"],
+                        "bucket": pa.array(b),
+                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return tmp.group_by(["c_mktsegment", "bucket"]).aggregate(
+            [("n", "sum")])
 
-    return (ds.groupby("c_mktsegment")
-              .map_groups(ntile, batch_format="pandas"))
+    counts = (ds.map_batches(counts_partial, batch_format="pyarrow")
+              .groupby(["c_mktsegment", "bucket"])
+              .aggregate(Sum("n_sum", alias_name="n"))
+              .to_pandas())
+
+    offsets: dict = {}        # (segment, bucket) -> rows before this bucket
+    totals: dict = {}
+    for seg, g in counts.groupby("c_mktsegment"):
+        g = g.sort_values("bucket")
+        ns = g["n"].to_numpy(dtype=np.int64)
+        cum = ns.cumsum()
+        for bk, off in zip(g["bucket"].to_numpy(dtype=np.int64),
+                           cum - ns):
+            offsets[(seg, int(bk))] = int(off)
+        totals[seg] = int(cum[-1])
+    meta_ref = ray.put((offsets, totals))
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = f64_order_bucket(t["c_acctbal"].to_numpy(zero_copy_only=False),
+                             order_bits)
+        return t.append_column("bucket", pa.array(b))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        offs, tot = ray.get(meta_ref)
+        seg = g["c_mktsegment"].iloc[0]
+        key = (seg, int(g["bucket"].iloc[0]))
+        g = g.sort_values(["c_acctbal", "c_custkey"]).reset_index(drop=True)
+        rank = np.arange(1, len(g) + 1, dtype=np.int64) + offs[key]
+        return pd.DataFrame({
+            "c_custkey": g["c_custkey"].astype("int64"),
+            "c_mktsegment": g["c_mktsegment"],
+            "quartile": _ntile_of_rank(rank, tot[seg], NT)})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby(["c_mktsegment", "bucket"])
+              .map_groups(assign, batch_format="pandas")
+              .select_columns(["c_custkey", "c_mktsegment", "quartile"]))
 
 
 Q_NTILE_SQL = """

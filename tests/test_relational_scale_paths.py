@@ -86,6 +86,48 @@ def test_rollup_levels_consistent(ray_session):
         assert per_year[r.year] == r.revenue_cents
 
 
+def test_ntile_distributed_rank_parity(ray_session):
+    """The two-phase shard-rank NTILE must be invariant to the bucket
+    granularity: order_bits=2 (≤4 coarse buckets — near-degenerate) and the
+    default must be byte-identical; and at the default granularity each
+    segment genuinely splits across multiple value buckets, i.e. no task
+    sees a whole segment."""
+    import numpy as np
+
+    from deepseek_ocr_rs_ray.pipelines.relational import (f64_order_bucket,
+                                                          q_ntile_balance)
+
+    def canon(ds):
+        return (ds.to_pandas()
+                .sort_values(["c_mktsegment", "c_custkey"])
+                .reset_index(drop=True))
+
+    a = canon(q_ntile_balance(SF))
+    b = canon(q_ntile_balance(SF, order_bits=2))
+    pd.testing.assert_frame_equal(a, b)
+    # the default granularity actually partitions each segment's values
+    import pyarrow.parquet as pq
+    bal = pq.read_table(f"{SF}/customer.parquet",
+                        columns=["c_acctbal"])["c_acctbal"]
+    n_buckets = len(np.unique(f64_order_bucket(
+        bal.to_numpy(zero_copy_only=False))))
+    assert n_buckets > 5   # many more value buckets than segments
+
+
+def test_percentiles_distributed_select_parity(ray_session):
+    """Distributed order-statistic selection: coarse (order_bits=2) and
+    default granularities must agree exactly — both pick the identical
+    input element for every (type, quantile)."""
+    from deepseek_ocr_rs_ray.pipelines.relational import q_value_percentiles
+
+    def canon(df):
+        return df.sort_values("event_type").reset_index(drop=True)
+
+    a = canon(q_value_percentiles(SF))
+    b = canon(q_value_percentiles(SF, order_bits=2))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_ntile_sizes_and_order(ray_session):
     """NTILE(4): per segment, bucket sizes differ by at most 1 with larger
     buckets first, and quartile is monotone in (acctbal, custkey) order."""
