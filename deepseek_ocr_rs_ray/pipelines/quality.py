@@ -234,49 +234,97 @@ FROM toks LEFT JOIN a ON toks.doc_id = a.doc_id
 # composed curation pipeline: quality gate → embedding join → semantic dedup
 # ---------------------------------------------------------------------------
 
-def x_curation_pipeline(sf_dir: str):
+def _curation_partial_sums(texts, doc, has_emb: np.ndarray,
+                           sd_keep: np.ndarray) -> pa.Table:
+    """ONE spelling of the per-batch curation funnel sums (both the
+    broadcast and the join path feed it): Gopher gate → embedding
+    membership → SemDeDup keep, each count exact int64."""
+    gkeep = gopher_batch_stats(texts)["keep"].astype(bool)
+    ntok = np.array([T.ws_token_count(s) for s in texts], dtype=np.int64)
+    has_emb = gkeep & has_emb
+    surv = has_emb & sd_keep
+    return pa.table({
+        "n_docs": pa.array([np.int64(len(texts))]),
+        "n_gopher_kept": pa.array([np.int64(gkeep.sum())]),
+        "n_with_embedding": pa.array([np.int64(has_emb.sum())]),
+        "n_survivors": pa.array([np.int64(surv.sum())]),
+        "survivor_tokens": pa.array([np.int64(ntok[surv].sum())]),
+        "survivor_id_sum": pa.array([np.int64(doc[surv].sum())]),
+    })
+
+
+def x_curation_pipeline(sf_dir: str, broadcast_cap: int = None):
     """End-to-end curation summary: documents pass the Gopher repetition
     gate, survivors are joined to their embedding row (doc_id = vec_id;
     docs without one drop out — the fixture's embedding table covers a
     prefix of the corpus at larger sfs), and the SemDeDup verdict prunes
     semantic near-dups. One exact-integer summary row.
 
-    Composition shape: q_semdedup's bounded per-vector verdict is computed
-    once and broadcast (dimension-sized here; at corpus scale the verdict
-    join becomes a partitioned Dataset.join keyed on doc_id — the q3/q5
-    cutover discipline); the corpus-sized side is ONE map_batches pass
-    over documents carrying per-batch partial sums only.
+    Composition shape: q_semdedup emits one verdict row per embedding
+    vector. Below ``broadcast_cap`` vectors the verdict broadcasts once
+    via ``ray.put`` and the corpus-sized side is ONE map_batches pass
+    carrying per-batch partial sums only. Above the cap it cuts over to a
+    partitioned ``Dataset.join`` of the verdict table against documents
+    keyed on doc_id — the q3/q5/semi-anti cutover discipline (the guard
+    reads the embeddings parquet row count from file metadata, so the
+    decision costs no data pass). Both paths share the same per-batch
+    kernel and produce byte-identical integer sums (parity-tested with a
+    forced cap of 0).
     """
+    import os
+
+    import pyarrow.parquet as pq
     import ray
 
     from . import corpus as C
+    from .relational import BROADCAST_ROW_CAP
+
+    if broadcast_cap is None:
+        broadcast_cap = BROADCAST_ROW_CAP
+    n_vec = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    from .common import single_row
+
+    if n_vec > broadcast_cap:
+        # cutover: verdict table stays a Dataset; partitioned hash join
+        # against the corpus on doc_id — no O(#vectors) driver collection
+        verd = C.q_semdedup(sf_dir).map_batches(
+            lambda t: pa.table({"doc_id": t["vec_id"],
+                                "sd_keep": t["keep"]}),
+            batch_format="pyarrow")
+        n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        joined = docs.join(verd, join_type="left_outer",
+                           num_partitions=n_parts, on=("doc_id",))
+
+        def partial_joined(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+            valid = t["sd_keep"].combine_chunks().is_valid()\
+                .to_numpy(zero_copy_only=False)
+            keep = pa.compute.fill_null(t["sd_keep"], 0)\
+                .to_numpy(zero_copy_only=False).astype(bool)
+            return _curation_partial_sums(texts, doc, valid, keep)
+
+        parts = joined.map_batches(partial_joined,
+                                   batch_format="pyarrow").to_pandas()
+        return single_row({c: np.int64(parts[c].sum())
+                           for c in parts.columns})
 
     sd = C.q_semdedup(sf_dir).to_pandas()
     keep_ids = np.sort(sd.loc[sd["keep"] == 1, "vec_id"].to_numpy())
     emb_ids = np.sort(sd["vec_id"].to_numpy())
     state = ray.put((keep_ids, emb_ids))
 
-    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-
     def partial(t: pa.Table) -> pa.Table:
         kset, eset = ray.get(state)
         texts = t.column("text").to_pylist()
-        gkeep = gopher_batch_stats(texts)["keep"].astype(bool)
-        ntok = np.array([T.ws_token_count(s) for s in texts], dtype=np.int64)
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        has_emb = gkeep & np.isin(doc, eset)
-        surv = has_emb & np.isin(doc, kset)
-        return pa.table({
-            "n_docs": pa.array([np.int64(len(texts))]),
-            "n_gopher_kept": pa.array([np.int64(gkeep.sum())]),
-            "n_with_embedding": pa.array([np.int64(has_emb.sum())]),
-            "n_survivors": pa.array([np.int64(surv.sum())]),
-            "survivor_tokens": pa.array([np.int64(ntok[surv].sum())]),
-            "survivor_id_sum": pa.array([np.int64(doc[surv].sum())]),
-        })
+        return _curation_partial_sums(texts, doc,
+                                      np.isin(doc, eset),
+                                      np.isin(doc, kset))
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    from .common import single_row
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
     return single_row({c: np.int64(parts[c].sum()) for c in parts.columns})
 
 

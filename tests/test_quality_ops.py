@@ -93,6 +93,17 @@ def test_curation_pipeline_funnel_and_parity(ray_session):
     assert compare("x_curation_pipeline", ray_df, sql_df) == []
 
 
+def test_curation_pipeline_join_cutover_parity(ray_session):
+    """Forcing broadcast_cap=0 routes the SemDeDup verdict through the
+    partitioned Dataset.join path, which must produce the byte-identical
+    summary row as the broadcast path."""
+    import pandas as pd
+
+    a = Q.x_curation_pipeline(SF).to_pandas()
+    b = Q.x_curation_pipeline(SF, broadcast_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_gopher_empty_text_cross_engine(ray_session, tmp_path):
     """Empty / whitespace-only docs: fractions exactly 0.0 and keep=1 on
     BOTH engines (DuckDB 0/0 would be NULL without the CASE guard)."""
