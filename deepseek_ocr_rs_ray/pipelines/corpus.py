@@ -1531,7 +1531,7 @@ cos AS (
          FLOOR(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) * 1000000 + 0.5)/1000000 AS cos
   FROM pairs GROUP BY label, a, b
 )
-SELECT label, a, b, cos FROM cos WHERE cos >= 0.4
+SELECT label, a, b, cos FROM cos WHERE cos >= 0.4e0
 """
 
 
@@ -1540,7 +1540,7 @@ IVF_PROBES = 4
 IVF_ITERS = 8
 
 
-def _ivf_centroids(sf_dir: str) -> np.ndarray:
+def _ivf_centroids(sf_dir: str, k: int = None) -> np.ndarray:
     """Deterministic mini k-means over a driver-side sample (the coarse
     quantizer an IVF index trains once and broadcasts).
 
@@ -1561,7 +1561,7 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
     x = np.array(sample[:2048], dtype=np.float32).astype(np.float64)
     xn = x / np.sqrt(np.einsum("ij,ij->i", x, x))[:, None]
     rng = np.random.default_rng(0x1F5)
-    k = min(IVF_CLUSTERS, len(xn))
+    k = min(IVF_CLUSTERS if k is None else k, len(xn))
     cent = xn[rng.choice(len(xn), size=k, replace=False)]
     for _ in range(IVF_ITERS):
         assign = np.argmax(xn @ cent.T, axis=1)          # cosine on unit vecs
@@ -1593,7 +1593,8 @@ def aux_dir_for(sf_dir: str) -> str:
     return os.path.join(AUX_DIR, token)
 
 
-def _write_centroids_aux(cent: np.ndarray, sf_dir: str) -> None:
+def _write_centroids_aux(cent: np.ndarray, sf_dir: str,
+                         name: str = "ivf_centroids.parquet") -> None:
     """Publish the (data-derived) IVF centroids for the SQL oracle.
 
     The centroids are MODEL PARAMETERS shared by both engines (like the
@@ -1609,7 +1610,7 @@ def _write_centroids_aux(cent: np.ndarray, sf_dir: str) -> None:
         "i": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), k)),
         "w": pa.array(cent.reshape(-1).astype(np.float64)),
     })
-    _write_aux_table(t, "ivf_centroids.parquet", sf_dir)
+    _write_aux_table(t, name, sf_dir)
 
 
 def q_ann_ivf(sf_dir: str, k: int = 10):
@@ -1888,6 +1889,9 @@ def prepare_oracle_aux(sf_dir: str, force: bool = False) -> None:
                 lambda: _expected_manifest_table(sf_dir))
     _write_expected_corpus_summary(sf_dir)
     _write_centroids_aux(_ivf_centroids(sf_dir), sf_dir)
+    sk = semdedup_k(sf_dir)
+    _write_centroids_aux(_ivf_centroids(sf_dir, k=sk), sf_dir,
+                         _semdedup_cent_name(sk))
     _ensure_aux("minhash_pairs_expected.parquet", sf_dir,
                 lambda: _expected_minhash_pairs(sf_dir),
                 extra=f"t={MINHASH_THRESHOLD}")
@@ -2666,6 +2670,30 @@ def x_extract_stage_totals(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.4
+SEMDEDUP_TARGET_CLUSTER_ROWS = 100   # k ≈ n / this (clipped below)
+SEMDEDUP_MAX_K = 2048                # ≤ the driver k-means sample size
+
+
+def semdedup_k(sf_dir: str) -> int:
+    """Cluster count for q_semdedup, scaled with the corpus: k ≈
+    n / SEMDEDUP_TARGET_CLUSTER_ROWS so the per-cluster O((n/k)²) cosine
+    block stays ~constant as n grows (the SemDeDup paper's regime — k
+    grows with the corpus, e.g. 110k clusters for LAION). Clipped to
+    [IVF_CLUSTERS, SEMDEDUP_MAX_K]; the upper clip is the driver-side
+    k-means sample size (a 100-TB deployment would raise the sample and
+    cap together, or go hierarchical). Read from parquet metadata — no
+    data pass."""
+    import os
+
+    import pyarrow.parquet as pq
+    n = pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    return max(IVF_CLUSTERS,
+               min(n // SEMDEDUP_TARGET_CLUSTER_ROWS, SEMDEDUP_MAX_K))
+
+
+def _semdedup_cent_name(k: int) -> str:
+    return f"semdedup_centroids_k{k}.parquet"
 
 
 def q_semdedup(sf_dir: str):
@@ -2679,25 +2707,28 @@ def q_semdedup(sf_dir: str):
     lowest-id member of every near-dup neighborhood just the same.
 
     Scale shape: centroid training is the driver-side seeded k-means the
-    IVF index already uses (_ivf_centroids, broadcast once); assignment is
-    a pure map (argmax of raw-embedding · centroid, ulp-compatible with the
-    oracle's ROW_NUMBER over summed products); the only shuffle groups by
-    cluster — IVF_CLUSTERS bounded groups of ~n/k vectors. Per-cluster
-    work is the O(k²) cosine block every SemDeDup implementation does; at
-    corpus scale the cluster count scales with n (n/k held ~constant), so
-    the block stays bounded — same argument as the capped bucket demos.
+    IVF index uses (_ivf_centroids, broadcast once) at k = semdedup_k(n)
+    — the cluster count SCALES WITH THE CORPUS so per-cluster O((n/k)²)
+    work stays bounded; assignment is a pure map (argmax of
+    round6-truncated raw-embedding · centroid dots — truncation on BOTH
+    engines so an accumulation-order ulp can never flip the argmax vs the
+    oracle's ROW_NUMBER); the only shuffle groups by cluster. The
+    centroid side-table is published under a k-keyed filename so the SQL
+    oracle provably reads the same model at every scale.
     """
     import ray
 
-    cent = _ivf_centroids(sf_dir)
-    _write_centroids_aux(cent, sf_dir)
+    k = semdedup_k(sf_dir)
+    cent = _ivf_centroids(sf_dir, k=k)
+    _write_centroids_aux(cent, sf_dir, _semdedup_cent_name(k))
     state = ray.put(cent)
 
     def assign(t: pa.Table) -> pa.Table:
         c = ray.get(state)
         embs = np.array(t["embedding"].to_pylist(),
                         dtype=np.float32).astype(np.float64)
-        cl = np.argmax(embs @ c.T, axis=1).astype(np.int64)
+        d6 = np.floor(embs @ c.T * 1e6 + 0.5) / 1e6
+        cl = np.argmax(d6, axis=1).astype(np.int64)   # ties → lowest c
         return pa.table({"vec_id": t["vec_id"], "embedding": t["embedding"],
                          "cluster": pa.array(cl)})
 
@@ -2728,10 +2759,12 @@ def q_semdedup(sf_dir: str):
 
 
 def semdedup_sql(sf_dir: str) -> str:
+    cent_file = _semdedup_cent_name(semdedup_k(sf_dir))
     return f"""
-WITH cent AS (SELECT c, i, w FROM read_parquet('{aux_dir_for(sf_dir)}/ivf_centroids.parquet')),
+WITH cent AS (SELECT c, i, w FROM read_parquet('{aux_dir_for(sf_dir)}/{cent_file}')),
 adots AS (
-  SELECT e.vec_id, cent.c, SUM(CAST(e.embedding[cent.i] AS DOUBLE) * cent.w) AS d
+  SELECT e.vec_id, cent.c,
+         FLOOR(SUM(CAST(e.embedding[cent.i] AS DOUBLE) * cent.w) * 1000000 + 0.5)/1000000 AS d
   FROM embeddings e, cent
   GROUP BY e.vec_id, cent.c
 ),
@@ -2758,7 +2791,7 @@ cos AS (
 ),
 dups AS (
   SELECT a AS vec_id, MIN(b) AS dup_of FROM cos
-  WHERE cos >= {SEMDEDUP_TAU} GROUP BY a
+  WHERE cos >= {SEMDEDUP_TAU}e0 GROUP BY a
 )
 SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster,
        CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,

@@ -262,6 +262,45 @@ def test_semdedup_invariants_and_parity(ray_session):
     assert compare("q_semdedup", df, sql_df) == []
 
 
+def test_semdedup_cluster_count_scales_with_corpus(ray_session, tmp_path):
+    """semdedup_k grows with the embedding count (k ≈ n/target, clipped),
+    so the per-cluster O((n/k)²) block stays bounded as the corpus grows;
+    and q_semdedup stays oracle-exact at a k above the IVF floor."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_rs_ray.pipelines import corpus as C
+
+    assert C.semdedup_k("/root/testdata/sf0.001") == C.IVF_CLUSTERS  # floor
+    assert (C.semdedup_k("/root/testdata/sf0.1")
+            > C.semdedup_k("/root/testdata/sf0.01"))                 # scales
+
+    # synthetic corpus big enough for k > floor: 3200 vectors → k = 32
+    import numpy as np
+    rng = np.random.default_rng(7)
+    n, dim = 3200, 64
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32(), dim)),
+        "label": pa.array(np.zeros(n, dtype=np.int32)),
+    }), str(d / "embeddings.parquet"))
+    k = C.semdedup_k(str(d))
+    assert k == n // C.SEMDEDUP_TARGET_CLUSTER_ROWS > C.IVF_CLUSTERS
+    df = (C.q_semdedup(str(d)).to_pandas()
+          .sort_values("vec_id").reset_index(drop=True))
+    assert df["cluster"].nunique() > C.IVF_CLUSTERS   # k genuinely in play
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
+    sql_df = con.execute(C.semdedup_sql(str(d))).fetchdf()
+    from tools.check_correctness import compare
+    assert compare("q_semdedup", df, sql_df) == []
+
+
 @pytest.mark.parametrize("qname", ["q_pmi_pairs", "q_inverted_index"])
 def test_cooccurrence_sql_oracle_parity(ray_session, qname):
     import sys

@@ -171,6 +171,36 @@ SELECT w, h FROM (
     assert (int(got[0]), int(got[1])) == py, (w, h, py, got)
 
 
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=10**9))
+def test_log2_matches_duckdb_on_int_counts(c):
+    """The token-entropy oracle assumes CPython math.log2 and DuckDB log2
+    resolve to bit-identical doubles on integer count inputs (the entropy
+    sum's term domain). A host/libm divergence must fail HERE, loudly,
+    not as a flaky hash mismatch in the driver gate."""
+    import math
+    py = math.log2(float(c))
+    sql = _sql_scalar("log2(CAST(v AS DOUBLE))", v=c)
+    assert py == float(sql)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=10**6),
+       st.integers(min_value=1, max_value=10**6))
+def test_entropy_term_matches_duckdb(c, n):
+    """One full entropy term — c·log2(c) and log2(n) composed exactly as
+    both engines spell it (quality.py vs Q_TOKEN_ENTROPY_SQL)."""
+    import math
+    py = float(c) * math.log2(float(c))
+    sql = _sql_scalar("CAST(v AS DOUBLE) * log2(CAST(v AS DOUBLE))", v=c)
+    assert py == float(sql)
+    py_h = math.log2(float(n)) - py / float(n)
+    sql_h = _sql_scalar(
+        "log2(CAST(n AS DOUBLE)) - CAST(v AS DOUBLE)"
+        " * log2(CAST(v AS DOUBLE)) / CAST(n AS DOUBLE)", v=c, n=n)
+    assert py_h == float(sql_h)
+
+
 # text domain for the vectorized-kernel parity checks: printable ASCII,
 # every Python-\s whitespace char, multibyte letters, CJK, an astral char
 _WS_EDGE_TEXT = st.text(
