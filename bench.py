@@ -25,7 +25,11 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "20000"))
 
-# queries timed in the main bench (a representative slice of the catalogue)
+# queries timed in the main bench (a representative slice of the catalogue).
+# BENCH_QUERIES is the long-lived r1-r3 slice (row-comparable across rounds);
+# BENCH_QUERIES_EXT adds the round-3 operator families (sketches, SemDeDup,
+# PMI, inverted index, end-to-end dedup/curation) so every catalogue family
+# has a measured row. The JSON reports both subtotals.
 BENCH_QUERIES = [
     "q1_pricing_summary", "q3_top_orders", "q5_local_supplier_volume",
     "q_hash_join_agg",
@@ -34,6 +38,12 @@ BENCH_QUERIES = [
     "q_asof_last_order", "q_events_running_total", "q_value_percentiles",
     "q_dedup_exact", "q_token_stats", "q_minhash_pairs",
     "q_knn_cosine", "q_embed_dup_pairs",
+]
+BENCH_QUERIES_EXT = [
+    "q_semdedup", "q_minhash_dedup", "x_curation_pipeline",
+    "q_hll_users", "q_cms_tokens", "q_bloom_semi_join",
+    "q_pmi_pairs", "q_inverted_index",
+    "q_gopher_repetition", "q_token_entropy", "q_ntile_balance",
 ]
 
 
@@ -114,7 +124,7 @@ def main() -> None:
     _consume(qs["q_topk_orders"](SF_DIR))
 
     timings = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + BENCH_QUERIES_EXT:
         t0 = time.perf_counter()
         _consume(qs[name](SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -122,11 +132,15 @@ def main() -> None:
     extract = run_extract_bench()
     timings["x_extract_pages"] = extract["sec"]
 
-    total = round(sum(timings.values()), 3)
+    core = round(sum(timings[n] for n in BENCH_QUERIES)
+                 + extract["sec"], 3)          # row-comparable with r1-r3
+    ext = round(sum(timings[n] for n in BENCH_QUERIES_EXT), 3)
     print(json.dumps({
         "metric": "extraction+ops wall seconds (docs/sec in extract.docs_per_sec)",
-        "value": total,
+        "value": round(core + ext, 3),
         "unit": "sec",
+        "subtotal_core": core,     # the r1-r3 18-query slice + extraction
+        "subtotal_ext": ext,       # round-3 operator families
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

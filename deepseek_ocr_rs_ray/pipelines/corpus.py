@@ -1013,29 +1013,48 @@ def q_minhash_pairs(sf_dir: str, threshold: float = MINHASH_THRESHOLD,
         64-perm signature estimate (std≈0.0625 at j=0.5) keeps a pair only
         when est >= threshold - MINHASH_EST_MARGIN, killing the banding's
         false positives before anything else moves (precision is still
-        exact — survivors get full shingle verification downstream)."""
-        out_a: list = []
-        out_b: list = []
+        exact — survivors get full shingle verification downstream).
+
+        Fully vectorized: one lexsort groups equal (band, bucket) runs,
+        triu_indices enumerates each run's pairs, np.unique dedups pairs
+        colliding in several bands, and ONE (pairs × perms) equality
+        block computes every estimate — no per-pair Python."""
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
         sub = g.drop_duplicates(["band", "bucket", "doc_id"])
-        sig_of = {int(d): np.frombuffer(s, dtype=np.uint64)
-                  for d, s in zip(sub["doc_id"], sub["sig"])}
-        seen: set = set()
-        for _, ids in sub.groupby(["band", "bucket"])["doc_id"]:
-            if len(ids) < 2:
+        if len(sub) < 2:
+            return empty
+        doc = sub["doc_id"].to_numpy(dtype=np.int64)
+        udocs, uidx = np.unique(doc, return_index=True)
+        SIG = np.frombuffer(
+            b"".join(sub["sig"].iloc[uidx]), dtype=np.uint64
+        ).reshape(len(udocs), -1)
+        band = sub["band"].to_numpy(dtype=np.int64)
+        bucket = sub["bucket"].to_numpy(dtype=np.int64)
+        order = np.lexsort((doc, bucket, band))
+        band, bucket, doc = band[order], bucket[order], doc[order]
+        row = np.searchsorted(udocs, doc)           # index into SIG
+        cut = np.flatnonzero((band[1:] != band[:-1])
+                             | (bucket[1:] != bucket[:-1]))
+        starts = np.r_[0, cut + 1]
+        ends = np.r_[cut + 1, len(doc)]
+        ia_parts, ib_parts = [], []
+        for s, e in zip(starts, ends):              # O(#buckets) appends only
+            m = e - s
+            if m < 2:
                 continue
-            uniq = sorted(set(int(x) for x in ids))
-            for i in range(len(uniq)):
-                for j in range(i + 1, len(uniq)):
-                    p = (uniq[i], uniq[j])
-                    if p in seen:
-                        continue
-                    seen.add(p)
-                    est = (sig_of[p[0]] == sig_of[p[1]]).mean()
-                    if est >= threshold - MINHASH_EST_MARGIN:
-                        out_a.append(p[0])
-                        out_b.append(p[1])
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
+            ia, ib = np.triu_indices(m, 1)
+            ia_parts.append(row[s:e][ia])
+            ib_parts.append(row[s:e][ib])
+        if not ia_parts:
+            return empty
+        ra, rb = np.concatenate(ia_parts), np.concatenate(ib_parts)
+        pairs = np.stack([udocs[ra], udocs[rb]], axis=1)
+        uniq, first = np.unique(pairs, axis=0, return_index=True)
+        est = (SIG[ra[first]] == SIG[rb[first]]).mean(axis=1)
+        keep = est >= threshold - MINHASH_EST_MARGIN
+        return pd.DataFrame({"a": pd.Series(uniq[keep, 0], dtype="int64"),
+                             "b": pd.Series(uniq[keep, 1], dtype="int64")})
 
     cand = banded.groupby("shard").map_groups(local_pairs,
                                               batch_format="pandas")
