@@ -404,29 +404,44 @@ ORDER BY revenue_cents DESC
 def q_hash_join_agg(sf_dir: str):
     """Unfiltered lineitem ⋈ orders via Ray's hash-partitioned Dataset.join —
     the both-sides-big pattern (neither side broadcastable at corpus scale) —
-    then revenue rollup by order priority."""
+    then revenue rollup by order priority.
+
+    lineitem is pre-aggregated per batch by l_orderkey BEFORE the join
+    (revenue already reduced to integer cents + a row count), so the join
+    shuffle moves ~4x fewer rows with a narrower payload; orderkeys are
+    unique in orders, so summing the reduced rows after the inner join is
+    exact. Locally equal (interleaved A/B, BASELINE.md round 4); at corpus
+    scale the shuffle-volume reduction is the win."""
     import ray
     from ray.data.aggregate import Sum
 
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    joined = li.join(orders, join_type="inner", num_partitions=n_parts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:
         rev = cents_arr(pc.multiply(t["l_extendedprice"],
                                     pc.subtract(pa.scalar(1.0), t["l_discount"])))
-        tmp = pa.table({"o_orderpriority": t["o_orderpriority"], "rev": rev,
+        tmp = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev,
                         "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
-        return tmp.group_by("o_orderpriority").aggregate(
+        return tmp.group_by("l_orderkey").aggregate(
             [("rev", "sum"), ("n", "sum")])
 
-    return (joined.map_batches(partial, batch_format="pyarrow")
+    li_red = li.map_batches(partial, batch_format="pyarrow")
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = li_red.join(orders, join_type="inner", num_partitions=n_parts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial2(t: pa.Table) -> pa.Table:
+        return (pa.table({"o_orderpriority": t["o_orderpriority"],
+                          "rev_sum": t["rev_sum"], "n_sum": t["n_sum"]})
+                .group_by("o_orderpriority")
+                .aggregate([("rev_sum", "sum"), ("n_sum", "sum")]))
+
+    return (joined.map_batches(partial2, batch_format="pyarrow")
                   .groupby("o_orderpriority")
-                  .aggregate(Sum("rev_sum", alias_name="revenue_cents"),
-                             Sum("n_sum", alias_name="n_lineitems")))
+                  .aggregate(Sum("rev_sum_sum", alias_name="revenue_cents"),
+                             Sum("n_sum_sum", alias_name="n_lineitems")))
 
 
 Q_HASH_JOIN_SQL = """
