@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cms_tokens": SK.q_cms_tokens,
         "q_bloom_semi_join": SK.q_bloom_semi_join,
         "x_curation_pipeline": Q.x_curation_pipeline,
+        "x_png_features": C.x_png_features,
     }
 
 
@@ -207,6 +208,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_cms_tokens": SK.Q_CMS_TOKENS_SQL,
         "q_bloom_semi_join": SK.Q_BLOOM_SEMI_SQL,
         "x_curation_pipeline": Q.curation_pipeline_sql(sf_dir),
+        "x_png_features": C.png_features_sql(sf_dir),
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

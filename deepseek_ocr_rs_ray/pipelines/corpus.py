@@ -2241,6 +2241,69 @@ def x_frame_samples(sf_dir: str):
     return frames.map_batches(_fingerprint_features, batch_format="pyarrow")
 
 
+def png_features_sql(sf_dir: str) -> str:
+    # PNG encode→decode is lossless, so the expected vectors are byte-
+    # identical to the RAW2 feature expectations — same side-table.
+    return features_sql(sf_dir)
+
+
+def _ensure_png_inputs_aux(sf_dir: str) -> None:
+    """Deterministic real-format input table: every OCR payload image
+    re-encoded as a PNG carried in a base64 data-URL string column — the
+    reference's real-image ingestion shapes (image::open file bytes,
+    crates/cli/src/app.rs:136-149; base64 data-URLs,
+    crates/server/src/generation.rs:284-298) synthesized at small scale."""
+
+    def build() -> pa.Table:
+        import base64
+
+        from ..functions.png import encode_png
+        from ..functions.raster import decode_payload
+        urls, srcs = [], []
+        for meta in _ocr_payload_metas(sf_dir):
+            img, _s, _m = decode_payload(meta["payload"])
+            b = encode_png(img)
+            urls.append(meta["url"])
+            srcs.append("data:image/png;base64,"
+                        + base64.b64encode(b).decode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "src": pa.array(srcs, pa.string())})
+
+    _ensure_aux("png_inputs.parquet", sf_dir, build)
+
+
+def x_png_features(sf_dir: str):
+    """Real image format end-to-end: base64 data-URL → PNG decode
+    (functions/png.py, spec-implemented on stdlib zlib) → feature vectors,
+    SQL-oracled against the RAW2 generator's expected feature fingerprints
+    — a cross-codec equality check (the PNG round trip must reproduce the
+    generator's pixels exactly for the float32 fingerprints to match)."""
+    import os as _os
+
+    import ray.data
+
+    from ..functions.png import parse_data_url
+    from ..stages.multimodal import ImageFeatureStage
+    _ensure_png_inputs_aux(sf_dir)
+    _ensure_aux("features_expected.parquet", sf_dir,
+                lambda: _expected_features_frames(sf_dir)[0])
+    ds = ray.data.read_parquet(
+        _os.path.join(aux_dir_for(sf_dir), "png_inputs.parquet"))
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payloads = []
+        for src in t["src"].to_pylist():
+            mime, b = parse_data_url(src)
+            payloads.append(b if mime == "image/png" else None)
+        return pa.table({"url": t["url"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    feats = (ds.map_batches(to_payload, batch_format="pyarrow")
+               .map_batches(ImageFeatureStage, batch_format="pyarrow",
+                            batch_size=32, concurrency=2))
+    return feats.map_batches(_fingerprint_features, batch_format="pyarrow")
+
+
 # --- q_prompt_tokens: M1 (template render) + M11 (placeholder expansion) ---
 # The prompt text around the <image> slot is a CONSTANT of the operator, so
 # its token count embeds as a literal; the data-dependent part (the tile

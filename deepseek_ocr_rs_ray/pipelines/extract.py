@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 import uuid
 from typing import List, Optional, Sequence
 
@@ -262,11 +263,54 @@ def _write_wave_metrics(out_dir: str, wave: int, counters: List[dict]) -> None:
     os.replace(path + ".tmp", path)
 
 
+# Dataset CONSTRUCTION is serialized across overlapped waves: read_parquet's
+# path resolution lazily imports fsspec.implementations.http, which raises
+# ModuleNotFoundError here (no aiohttp) — harmless single-threaded (Ray
+# catches it), but two threads importing at once can surface the torn module
+# as a bare ImportError that Ray's `except ModuleNotFoundError` misses.
+# Construction is microseconds next to execution, so the lock costs nothing.
+_BUILD_LOCK = threading.Lock()
+
+
+def _run_one_wave(out_dir: str, wave: int, wave_files: Sequence[str],
+                  cfg: ExtractConfig, size_cuts: Sequence[int]) -> List[dict]:
+    """One wave = one Dataset execution, committed atomically on success."""
+    tmp = mf.wave_tmp_dir(out_dir, wave)
+    os.makedirs(tmp, exist_ok=True)
+    with _BUILD_LOCK:
+        ds = build_extract_dataset(wave_files, cfg, size_cuts)
+        # batch_size=2048 coalesces map-stage blocks so each size-class shard
+        # file lands ~500+ rows (no tiny-file explosion) while keeping the
+        # sink wide enough that the zstd-encode tail doesn't serialize the
+        # end of each wave (4096 left only 5 sink tasks for a 20k wave)
+        counters_ds = ds.map_batches(ShardSink(tmp), batch_format="pyarrow",
+                                     batch_size=2048)
+    counter_rows = counters_ds.take_all()   # tiny: one row per batch/class
+    counters = _aggregate_counters(counter_rows)
+    mf.commit_wave(out_dir, wave, [os.path.basename(f) for f in wave_files],
+                   counters)
+    _write_wave_metrics(out_dir, wave, counters)
+    return counters
+
+
 def run_extract_job(input_paths: Sequence[str], out_dir: str,
                     cfg: ExtractConfig = ExtractConfig(),
                     wave_size: int = 64,
-                    max_waves: Optional[int] = None) -> dict:
+                    max_waves: Optional[int] = None,
+                    overlap: Optional[int] = None) -> dict:
     """Resumable extraction job: waves of input files, atomic per-wave commit.
+
+    ``overlap`` (default ``$GRAFT_WAVE_OVERLAP`` or 1) is the number of
+    wave executions in flight at once. Waves are independent Dataset
+    executions with independent atomic commits, so overlap=2 lets wave
+    N+1's read/map fill the slots drained by wave N's sink tail (the
+    zstd-encode stragglers that otherwise serialize the end of every
+    wave) — the waved-production analogue of what a single-wave job gets
+    for free from streaming execution. Resume semantics are unchanged:
+    commits may land out of order; ``committed_waves`` is a set and a
+    re-run simply skips whatever committed. Byte identity is per-wave and
+    unaffected by the interleaving (test_wave_overlap in
+    tests/test_extract_pipeline.py).
 
     Returns a summary dict {waves_run, waves_skipped, rows, ocr_rows}.
     """
@@ -275,36 +319,36 @@ def run_extract_job(input_paths: Sequence[str], out_dir: str,
     mf.clean_orphan_tmp(out_dir)
     done = mf.committed_waves(out_dir)
     size_cuts = compute_size_cuts(files, cfg)
+    if overlap is None:
+        overlap = int(os.environ.get("GRAFT_WAVE_OVERLAP", "1"))
 
     waves = [(w, files[s:s + wave_size])
              for w, s in enumerate(range(0, len(files), wave_size))]
     summary = {"waves_run": 0, "waves_skipped": 0, "rows": 0, "ocr_rows": 0,
                "size_cuts": size_cuts}
+    summary["waves_skipped"] = sum(1 for w, _ in waves if w in done)
+    pending = [(w, fs) for w, fs in waves if w not in done]
+    if max_waves is not None:
+        pending = pending[:max_waves]
 
-    for wave, wave_files in waves:
-        if wave in done:
-            summary["waves_skipped"] += 1
-            continue
-        if max_waves is not None and summary["waves_run"] >= max_waves:
-            break
-        tmp = mf.wave_tmp_dir(out_dir, wave)
-        os.makedirs(tmp, exist_ok=True)
-
-        ds = build_extract_dataset(wave_files, cfg, size_cuts)
-        # batch_size=2048 coalesces map-stage blocks so each size-class shard
-        # file lands ~500+ rows (no tiny-file explosion) while keeping the
-        # sink wide enough that the zstd-encode tail doesn't serialize the
-        # end of each wave (4096 left only 5 sink tasks for a 20k wave)
-        counters_ds = ds.map_batches(ShardSink(tmp), batch_format="pyarrow",
-                                     batch_size=2048)
-        counter_rows = counters_ds.take_all()   # tiny: one row per batch/class
-        counters = _aggregate_counters(counter_rows)
-        mf.commit_wave(out_dir, wave, [os.path.basename(f) for f in wave_files],
-                       counters)
-        _write_wave_metrics(out_dir, wave, counters)
+    def _account(counters: List[dict]) -> None:
         summary["waves_run"] += 1
         summary["rows"] += sum(c["row_count"] for c in counters)
         summary["ocr_rows"] += sum(c["ocr_rows"] for c in counters)
+
+    if overlap <= 1:
+        for wave, wave_files in pending:
+            _account(_run_one_wave(out_dir, wave, wave_files, cfg, size_cuts))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=overlap) as ex:
+            futs = [ex.submit(_run_one_wave, out_dir, wave, wave_files,
+                              cfg, size_cuts)
+                    for wave, wave_files in pending]
+            # surface the FIRST failure but let in-flight waves finish
+            # committing (their output stays valid for resume)
+            for f in futs:
+                _account(f.result())
 
     if summary["waves_run"]:
         _write_job_report(out_dir)

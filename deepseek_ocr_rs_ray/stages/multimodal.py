@@ -2,9 +2,11 @@
 processed by actor-pool ``map_batches`` stages.
 
 The pipeline pattern is the product here — schema, batch sizing, actor
-signature, output layout — with the RAW2 codec (functions/raster.py) as the
-deterministic stand-in for real image codecs (none are in this container).
-Stages:
+signature, output layout. Every image stage sniff-dispatches between two
+codecs: real PNG (functions/png.py — spec-implemented on stdlib zlib, the
+analogue of the reference's ``image::open`` path, crates/cli/src/app.rs:
+136-149) and the deterministic RAW2 container (functions/raster.py). Video
+containers stay stubbed (no ffmpeg/PyAV here). Stages:
 
 - ``ImageDecodeMeta`` — header-only probe (no decompression): the cheap
   schema pass over a binary column.
@@ -25,10 +27,32 @@ from typing import List
 import numpy as np
 import pyarrow as pa
 
-from ..functions import raster
+from ..functions import png, raster
 from ..functions.imageops import resize_bicubic
 
 REAL_VIDEO_CODECS = False  # no ffmpeg/PIL in this container
+
+
+def decode_image_payload(payload: bytes):
+    """Sniff-dispatch decode: PNG (functions/png.py, the real-format path)
+    or RAW2 → ((H, W, 3) uint8, glyph_scale, margin). PNG carries no glyph
+    raster metadata, so those fields are 0. Raises ValueError on neither."""
+    if png.is_png(payload):
+        return png.decode_png(payload), 0, 0
+    return raster.decode_payload(payload)
+
+
+def image_payload_meta(payload: bytes):
+    """Header-only metadata for either supported format (None = neither).
+    PNG has no glyph_scale; reported as -1 so the column stays int64."""
+    if png.is_png(payload):
+        try:
+            m = png.png_meta(payload)
+        except ValueError:
+            return None
+        return {"width": m["width"], "height": m["height"],
+                "glyph_scale": -1, "nbytes": m["nbytes"]}
+    return raster.payload_meta(payload)
 
 
 class ImageDecodeMeta:
@@ -39,7 +63,7 @@ class ImageDecodeMeta:
                 "nbytes": []}
         for url, payload in zip(batch.column("url").to_pylist(),
                                 batch.column("payload").to_pylist()):
-            meta = raster.payload_meta(payload) if payload else None
+            meta = image_payload_meta(payload) if payload else None
             if meta is None:
                 continue
             rows["url"].append(url)
@@ -67,11 +91,15 @@ class ImageResizeStage:
             if not payload:
                 continue
             try:
-                img, scale, margin = raster.decode_payload(payload)
+                img, scale, margin = decode_image_payload(payload)
             except ValueError:
                 continue
             small = resize_bicubic(img, self.thumb, self.thumb)
-            thumbs.append(raster.encode_payload(small, scale, margin))
+            # re-encode in the INPUT's format: PNG in -> PNG thumb out
+            if png.is_png(payload):
+                thumbs.append(png.encode_png(small))
+            else:
+                thumbs.append(raster.encode_payload(small, scale, margin))
             urls.append(url)
             heights.append(img.shape[0])
             widths.append(img.shape[1])
@@ -114,7 +142,7 @@ class ImageFeatureStage:
             if not payload:
                 continue
             try:
-                img, _scale, _margin = raster.decode_payload(payload)
+                img, _scale, _margin = decode_image_payload(payload)
             except ValueError:
                 continue
             urls.append(url)
@@ -150,7 +178,7 @@ class FrameSampleStage:
             if not payload:
                 continue
             try:
-                img, _scale, _margin = raster.decode_payload(payload)
+                img, _scale, _margin = decode_image_payload(payload)
             except ValueError:
                 continue
             n_frames = max(img.shape[0] // self.frame_h, 1)

@@ -125,6 +125,28 @@ def test_wave_size_does_not_change_bytes(ray_session, pages_dir, golden, tmp_pat
     assert_matches_golden(read_output(out).to_pandas(), golden)
 
 
+def test_wave_overlap(ray_session, pages_dir, golden, tmp_path):
+    """overlap=2 (two wave executions in flight) commits all waves, stays
+    byte-identical to the sequential path, and resumes cleanly on top of a
+    partial overlapped run."""
+    out = str(tmp_path / "out_ovl")
+    files = sorted(glob.glob(pages_dir + "/*.parquet"))
+    s = run_extract_job(files, out, wave_size=1, overlap=2)
+    assert s["waves_run"] == 4 and s["rows"] == N_ROWS
+    assert_matches_golden(read_output(out).to_pandas(), golden)
+
+    # partial overlapped run (2 of 4 waves), then an overlapped resume
+    out2 = str(tmp_path / "out_ovl2")
+    s1 = run_extract_job(files, out2, wave_size=1, max_waves=2, overlap=2)
+    assert s1["waves_run"] == 2
+    s2 = run_extract_job(files, out2, wave_size=1, overlap=2)
+    assert s2["waves_skipped"] == 2 and s2["waves_run"] == 2
+    assert_matches_golden(read_output(out2).to_pandas(), golden)
+    m = mf.read_manifest(out2).to_pandas()
+    assert set(m["status"]) == {"committed"}
+    assert m["row_count"].sum() == N_ROWS
+
+
 def test_sampled_decode_in_pipeline(ray_session, pages_dir, golden):
     """T3 in-pipeline: seeded sampled decode (do_sample + temperature +
     top_k) is deterministic at any parallelism, byte-identical to the
