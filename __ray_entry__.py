@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semi_join": SK.q_bloom_semi_join,
         "x_curation_pipeline": Q.x_curation_pipeline,
         "x_png_features": C.x_png_features,
+        "q_decontaminate": C.q_decontaminate,
+        "q_bigram_lm_score": Q.q_bigram_lm_score,
     }
 
 
@@ -209,6 +211,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_bloom_semi_join": SK.Q_BLOOM_SEMI_SQL,
         "x_curation_pipeline": Q.curation_pipeline_sql(sf_dir),
         "x_png_features": C.png_features_sql(sf_dir),
+        "q_decontaminate": C.Q_DECONTAMINATE_SQL,
+        "q_bigram_lm_score": Q.Q_BIGRAM_LM_SQL,
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

@@ -44,7 +44,7 @@ BENCH_QUERIES_EXT = [
     "q_hll_users", "q_cms_tokens", "q_bloom_semi_join",
     "q_pmi_pairs", "q_inverted_index",
     "q_gopher_repetition", "q_token_entropy", "q_ntile_balance",
-    "x_png_features",
+    "x_png_features", "q_decontaminate", "q_bigram_lm_score",
 ]
 
 

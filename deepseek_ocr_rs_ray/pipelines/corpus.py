@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import textops as T
-from .common import read_table, round6_np
+from .common import read_table, round6_np, sql_tok_array as _sql_tok_array
 
 # ---------------------------------------------------------------------------
 # text analysis (SQL-oracled)
@@ -854,6 +854,140 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
       / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.25
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: flag training docs sharing an n-gram with the
+# eval split (the standard pre-training hygiene pass; eval suites are small
+# and fixed, so their n-gram set is the canonical broadcast side)
+# ---------------------------------------------------------------------------
+
+DECON_BENCH_MOD = 50   # doc_id % 50 == 0 → the "benchmark/eval" split
+DECON_NGRAM = 4        # real pipelines use ~13; the 31-word synthetic vocab
+#                        makes n>=5 a near-always-miss (1 hit at sf0.01), so
+#                        4 is the smallest n that stays selective here (19
+#                        docs / 40 hits at sf0.01) — same vocab-size
+#                        reasoning as Gopher dup3 (quality.py)
+
+
+def _tok_ngrams(s: str, n: int):
+    toks = T.ascii_tokens(s)
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def q_decontaminate(sf_dir: str, broadcast_cap: int = None):
+    """Per-train-doc count of DISTINCT n-grams shared with the benchmark
+    split (docs with any overlap are what a real pipeline drops/flags).
+
+    Scale shape: an eval suite is small by construction at ANY corpus
+    scale, so its distinct n-gram set is collected once (streamed,
+    cap-guarded) and broadcast via ``ray.put``; the training corpus then
+    streams through one vectorized membership pass — no shuffle. If the
+    "benchmark" side ever outgrows ``broadcast_cap`` n-grams the query
+    cuts over to the exploded distributed join path (q3/q5 discipline;
+    forced-tiny-cap parity in test_relational_scale_paths.py)."""
+    import ray
+
+    from .relational import BROADCAST_ROW_CAP
+    if broadcast_cap is None:
+        broadcast_cap = BROADCAST_ROW_CAP
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        grams: set = set()
+        for i, s in zip(ids, t["text"].to_pylist()):
+            if int(i) % DECON_BENCH_MOD == 0:
+                grams |= _tok_ngrams(s, DECON_NGRAM)
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    bench_ds = docs.map_batches(bench_partial, batch_format="pyarrow")
+    bench: set = set()
+    capped = False
+    for b in bench_ds.iter_batches(batch_format="pyarrow"):
+        bench.update(b["g"].to_pylist())
+        if len(bench) > broadcast_cap:
+            capped = True
+            break
+    if capped:
+        return _decontaminate_join_fallback(docs, bench_ds)
+    bench_ref = ray.put(np.array(sorted(bench), dtype=object))
+
+    def probe(t: pa.Table) -> pa.Table:
+        grams = set(ray.get(bench_ref))
+        out_ids, out_hits = [], []
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        for i, s in zip(ids, t["text"].to_pylist()):
+            if int(i) % DECON_BENCH_MOD == 0:
+                continue
+            n_hits = len(_tok_ngrams(s, DECON_NGRAM) & grams)
+            if n_hits:
+                out_ids.append(int(i))
+                out_hits.append(n_hits)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "n_hits": pa.array(out_hits, pa.int64())})
+
+    return docs.map_batches(probe, batch_format="pyarrow")
+
+
+def _decontaminate_join_fallback(docs, bench_ds):
+    """Both-sides-big path: explode train docs to distinct (doc_id, g)
+    rows, hash-join the benchmark n-gram set, count hits per doc. The
+    shuffle carries only fixed-width (int64, ngram) pairs."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_ids, out_g = [], []
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        for i, s in zip(ids, t["text"].to_pylist()):
+            if int(i) % DECON_BENCH_MOD == 0:
+                continue
+            for g in _tok_ngrams(s, DECON_NGRAM):
+                out_ids.append(int(i))
+                out_g.append(g)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "g": pa.array(out_g, pa.string())})
+
+    train = docs.map_batches(explode, batch_format="pyarrow")
+    # bench_ds rows are per-batch-distinct; global-dedup them so the join
+    # can't multiply a train row across duplicate bench rows
+    bench_unique = bench_ds.groupby("g").count().select_columns(["g"])
+    n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = train.join(bench_unique, join_type="inner",
+                        num_partitions=n_parts, on=("g",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table({"doc_id": t["doc_id"],
+                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return tmp.group_by("doc_id").aggregate([("n", "sum")])
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("doc_id")
+                  .aggregate(Sum("n_sum", alias_name="n_hits")))
+
+
+def _decon_ngram_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"tok[i + {k}]" for k in range(n))
+    return (f"CASE WHEN len(tok) < {n} THEN [] "
+            f"ELSE list_distinct(list_transform("
+            f"generate_series(1, len(tok) - {n - 1}), i -> {parts})) END")
+
+
+Q_DECONTAMINATE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tok_array("text")} AS tok FROM documents
+),
+ng AS (SELECT doc_id, {_decon_ngram_sql(DECON_NGRAM)} AS w FROM toks),
+bench AS (
+  SELECT DISTINCT unnest(w) AS g FROM ng WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+tr AS (
+  SELECT doc_id, unnest(w) AS g FROM ng WHERE doc_id % {DECON_BENCH_MOD} <> 0
+)
+SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM tr JOIN bench USING (g) GROUP BY tr.doc_id
 """
 
 

@@ -231,6 +231,145 @@ FROM toks LEFT JOIN a ON toks.doc_id = a.doc_id
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style LM quality scoring: an add-one-smoothed bigram LM trained on a
+# held-out split scores every document's average bigram log-likelihood
+# (Wenzek et al. 2020 filter web text by LM perplexity; the 100-TB shape is
+# identical — the LM is a FIXED small model broadcast to every worker, the
+# corpus streams through a pure map)
+# ---------------------------------------------------------------------------
+
+LM_TRAIN_MOD = 10      # doc_id % 10 == 0 → the LM training split
+
+
+def q_bigram_lm_score(sf_dir: str):
+    """Per-doc average bigram log-likelihood under an add-one-smoothed
+    bigram LM with counts from the ``doc_id % LM_TRAIN_MOD == 0`` split.
+
+    avg_lp = (1/n) Σ_{distinct bigrams g=(w1,w2)} c_doc(g) ·
+             log2((C(g) + 1) / (C_ctx(w1) + V))
+
+    Determinism: all counts exact int64 (PMI-style sentinel-row partial
+    aggregation, vocabulary-bounded); each term is ONE identically-spelled
+    double expression on both engines; the per-doc sum groups by DISTINCT
+    bigram with integer multiplicity on both engines, so only accumulation
+    ORDER differs — the same far-from-boundary ulp argument (and log2 fuzz
+    pin) as q_token_entropy; round6-truncated at the end.
+
+    Scale: training counts pre-aggregate per batch into Counters (shuffle
+    carries one row per (batch, bigram), vocabulary-bounded; an open-vocab
+    corpus hashes bigrams to shards like q_top_tokens), the fitted LM is a
+    broadcast dict, scoring is a shuffle-free map."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def train_partial(t: pa.Table) -> pa.Table:
+        bg_c: Counter = Counter()
+        ctx_c: Counter = Counter()
+        vocab: set = set()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        for i, s in zip(ids, t["text"].to_pylist()):
+            if int(i) % LM_TRAIN_MOD != 0:
+                continue
+            toks = T.ascii_tokens(s)
+            vocab.update(toks)
+            ctx_c.update(toks[:-1])
+            bg_c.update(zip(toks, toks[1:]))
+        rows = {"a": [], "b": [], "n": []}
+        for (a, b), n in bg_c.items():
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["n"].append(n)
+        for a, n in ctx_c.items():          # sentinel: b = '' (tokens are
+            rows["a"].append(a)             # non-empty by construction)
+            rows["b"].append("")
+            rows["n"].append(n)
+        for a in vocab:                     # sentinel: vocab presence rows;
+            rows["a"].append(a)             # the groupby collapses them to
+            rows["b"].append("\x00v")       # one row per token, so the
+            rows["n"].append(1)             # driver's row COUNT is |V|
+        return pa.table({"a": pa.array(rows["a"], pa.string()),
+                         "b": pa.array(rows["b"], pa.string()),
+                         "n": pa.array(np.array(rows["n"], dtype=np.int64))})
+
+    agg = (ds.map_batches(train_partial, batch_format="pyarrow")
+             .groupby(["a", "b"])
+             .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    vocab_rows = agg[agg["b"] == "\x00v"]
+    v = float(len(vocab_rows))              # distinct tokens in train split
+    ctx_rows = agg[agg["b"] == ""]
+    ctx = dict(zip(ctx_rows["a"], ctx_rows["n"].astype(np.int64)))
+    bg_rows = agg[(agg["b"] != "") & (agg["b"] != "\x00v")]
+    bg = {(a, b): int(n) for a, b, n in
+          zip(bg_rows["a"], bg_rows["b"], bg_rows["n"])}
+    lm_ref = ray.put((bg, ctx, v))
+
+    def score(t: pa.Table) -> pa.Table:
+        bg_, ctx_, v_ = ray.get(lm_ref)
+        out_ids, out_n, out_lp = [], [], []
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        for i, s in zip(ids, t["text"].to_pylist()):
+            toks = T.ascii_tokens(s)
+            if len(toks) < 2:
+                continue
+            doc_bg = Counter(zip(toks, toks[1:]))
+            n = len(toks) - 1
+            acc = 0.0
+            for g, c in doc_bg.items():
+                acc += float(c) * math.log2(
+                    (float(bg_.get(g, 0)) + 1.0)
+                    / (float(ctx_.get(g[0], 0)) + v_))
+            out_ids.append(int(i))
+            out_n.append(n)
+            out_lp.append(np.floor(acc / float(n) * 1e6 + 0.5) / 1e6)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "n_bigrams": pa.array(out_n, pa.int64()),
+                         "avg_lp": pa.array(out_lp, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+Q_BIGRAM_LM_SQL = rf"""
+WITH {_SQL_TOKS_IDX},
+bg AS (
+  SELECT doc_id, t AS w1, t || ' ' || lead(t, 1) OVER w AS g
+  FROM idx WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(t, 1) OVER w IS NOT NULL
+),
+train_bg AS (
+  SELECT g, COUNT(*) AS c FROM bg WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY g
+),
+train_ctx AS (
+  SELECT w1, COUNT(*) AS c FROM bg WHERE doc_id % {LM_TRAIN_MOD} = 0 GROUP BY w1
+),
+vocab AS (
+  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+  FROM idx WHERE doc_id % {LM_TRAIN_MOD} = 0
+),
+doc_bg AS (
+  SELECT doc_id, g, w1, COUNT(*) AS c FROM bg GROUP BY doc_id, g, w1
+),
+terms AS (
+  SELECT d.doc_id, SUM(d.c) AS n,
+         SUM(CAST(d.c AS DOUBLE)
+             * log2((CAST(COALESCE(tb.c, 0) AS DOUBLE) + 1.0e0)
+                    / (CAST(COALESCE(tc.c, 0) AS DOUBLE)
+                       + (SELECT v FROM vocab)))) AS s
+  FROM doc_bg d
+  LEFT JOIN train_bg tb ON d.g = tb.g
+  LEFT JOIN train_ctx tc ON d.w1 = tc.w1
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+       FLOOR(s / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS avg_lp
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
 # composed curation pipeline: quality gate → embedding join → semantic dedup
 # ---------------------------------------------------------------------------
 

@@ -148,3 +148,37 @@ def test_ntile_sizes_and_order(ray_session):
                 f"read_parquet('{SF}/customer.parquet')")
     sql_df = con.execute(m.oracle_sql_for(SF)["q_ntile_balance"]).fetchdf()
     assert compare("q_ntile_balance", df, sql_df) == []
+
+
+def test_decontaminate_join_fallback_parity(ray_session):
+    """broadcast_cap=0 forces the exploded distributed-join path — must be
+    row-identical to the broadcast set-probe path."""
+    from deepseek_ocr_rs_ray.pipelines import corpus as C
+
+    def canon(ds):
+        return (ds.to_pandas().astype({"doc_id": "int64", "n_hits": "int64"})
+                [["doc_id", "n_hits"]]
+                .sort_values("doc_id").reset_index(drop=True))
+    a = canon(C.q_decontaminate(SF))
+    b = canon(C.q_decontaminate(SF, broadcast_cap=0))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize("qname", ["q_decontaminate", "q_bigram_lm_score",
+                                   "x_png_features"])
+def test_round4_sql_oracle_parity(ray_session, qname):
+    """Driver-gate replication at sf0.001 for the round-4 adds
+    (benchmark decontamination, bigram-LM quality scoring, PNG ingestion)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from tools.check_correctness import compare, to_pandas
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    ray_df = to_pandas(m.queries()[qname](SF))
+    sql_df = con.execute(m.oracle_sql_for(SF)[qname]).fetchdf()
+    assert compare(qname, ray_df, sql_df) == []
