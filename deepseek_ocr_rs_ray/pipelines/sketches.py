@@ -73,31 +73,23 @@ def q_hll_users(sf_dir: str):
     """Approximate distinct ``user_id`` count over events via a 256-register
     HyperLogLog, with the exact count alongside for calibration.
 
-    Scale shape: one pass for the sketch (per-batch registers → ≤256-row
-    MAX-merge groupby), one sharded-unique pass for the exact count (the
-    q_union_distinct pattern — per-batch unique, 64 hash shards, per-shard
-    nunique). At 10^12 keys only the sketch pass survives; the exact side
-    exists because the fixture is small enough to afford the oracle.
+    Scale shape: ONE pass — per-batch unique (user_id, shard) rows,
+    64 bounded shard groups, each emitting its registers + exact-count
+    sentinel (HLL registers MAX-merge across shards by construction). At
+    10^12 keys the exact side is dropped and the sketch degenerates to the
+    pure combiner (per-batch ``hll_registers`` → ≤256-row MAX-merge
+    groupby — no shard group ever holds the key set); the exact side
+    exists here because the fixture is small enough to afford the oracle.
     """
-    from ray.data.aggregate import Max
-
     ds = read_table(sf_dir, "events", ["user_id"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
-        regs = hll_registers(u)
-        nz = np.nonzero(regs)[0]
-        return pa.table({"register": pa.array(nz.astype(np.int64)),
-                         "rank": pa.array(regs[nz])})
-
-    merged = (ds.map_batches(partial, batch_format="pyarrow")
-                .groupby("register")
-                .aggregate(Max("rank", alias_name="rank"))).to_pandas()
-    regs = np.zeros(HLL_M, dtype=np.int64)
-    if len(merged):
-        regs[merged["register"].to_numpy()] = merged["rank"].to_numpy()
-
-    # exact distinct (sharded-unique; bounded groups)
+    # ONE pass over events: per-batch unique (user_id, shard) rows co-group
+    # under 64 bounded shards; each shard emits its HLL registers (register
+    # assignment hashes user_id, so the elementwise MAX across shards is
+    # the global register file) plus its exact distinct count as a
+    # sentinel row (register = -1). The old two-pass shape (sketch groupby
+    # + separate sharded-unique pass) paid a second full read + shuffle
+    # for no extra information.
     N_SHARDS = 64
 
     def uniq(t: pa.Table) -> pa.Table:
@@ -105,20 +97,29 @@ def q_hll_users(sf_dir: str):
         return pa.table({"user_id": pa.array(u),
                          "shard": pa.array(u & (N_SHARDS - 1))})
 
-    def shard_nunique(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"n": [np.int64(g["user_id"].nunique())]})
+    def shard_stats(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["user_id"].to_numpy())
+        regs = hll_registers(u)
+        nz = np.nonzero(regs)[0]
+        return pd.DataFrame({
+            "register": np.concatenate([nz, [-1]]).astype(np.int64),
+            "rank": np.concatenate([regs[nz], [len(u)]]).astype(np.int64)})
 
-    parts = (read_table(sf_dir, "events", ["user_id"])
-             .map_batches(uniq, batch_format="pyarrow")
-             .groupby("shard")
-             .map_groups(shard_nunique, batch_format="pandas").to_pandas())
+    parts = (ds.map_batches(uniq, batch_format="pyarrow")
+               .groupby("shard")
+               .map_groups(shard_stats, batch_format="pandas").to_pandas())
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    reg_rows = parts[parts["register"] >= 0]
+    np.maximum.at(regs, reg_rows["register"].to_numpy(),
+                  reg_rows["rank"].to_numpy())
+    n_exact = int(parts.loc[parts["register"] == -1, "rank"].sum())
 
     return single_row({
         "m": np.int64(HLL_M),
         "nonzero_registers": np.int64(int((regs > 0).sum())),
         "register_checksum": np.int64(int((np.arange(HLL_M) * regs).sum())),
         "hll_estimate": float(hll_estimate_from_registers(regs)),
-        "n_exact": np.int64(int(parts["n"].sum())),
+        "n_exact": np.int64(n_exact),
     })
 
 
@@ -182,11 +183,12 @@ def q_cms_tokens(sf_dir: str):
     Scale shape: the sketch is the second combiner demo (after HLL) — a
     per-batch DEPTH×WIDTH integer counter matrix whose merge is SUM, so
     the shuffle is <= 1024 (row, col) cells per batch at any corpus size.
-    The exact counts come from the vocabulary-bounded token groupby (an
-    open vocab shards tokens by hash — q_top_tokens pattern); the per-token
-    estimate (min over rows of the addressed cells) is a driver-side probe
-    of two bounded tables. All counters are exact int64 on both engines —
-    no float anywhere — so the gate compares hash-exactly.
+    The exact counts ride the SAME one-pass shuffle under token keys
+    (vocabulary-bounded; an open vocab shards tokens by hash —
+    q_top_tokens pattern); the per-token estimate (min over rows of the
+    addressed cells) is a driver-side probe of two bounded tables. All
+    counters are exact int64 on both engines — no float anywhere — so the
+    gate compares hash-exactly.
     """
     from collections import Counter
 
@@ -196,39 +198,37 @@ def q_cms_tokens(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", ["text"])
 
+    # ONE pass: per-batch Counter feeds BOTH the sketch cells and the
+    # exact token counts through a single SUM-merge groupby; cell rows ride
+    # under sentinel keys ("\x00{j}:{col}" — a NUL byte cannot start a
+    # token). Key cardinality stays bounded: ≤ DEPTH×WIDTH cells + vocab.
+    # (The old shape paid a second full read + shuffle for the exact side.)
     def cms_partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for s in t.column("text").to_pylist():
             c.update(T.ascii_tokens(s))
-        rows, cols, ns = [], [], []
+        keys, ns = [], []
         for tok, n in c.items():
+            keys.append(tok)
+            ns.append(n)
             for j, col in enumerate(cms_cols(tok)):
-                rows.append(j)
-                cols.append(col)
+                keys.append(f"\x00{j}:{col}")
                 ns.append(n)
-        return pa.table({"j": pa.array(np.array(rows, dtype=np.int64)),
-                         "col": pa.array(np.array(cols, dtype=np.int64)),
+        return pa.table({"k": pa.array(keys, pa.string()),
                          "n": pa.array(np.array(ns, dtype=np.int64))})
 
-    counters = (ds.map_batches(cms_partial, batch_format="pyarrow")
-                  .groupby(["j", "col"])
-                  .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    agg = (ds.map_batches(cms_partial, batch_format="pyarrow")
+             .groupby("k")
+             .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    is_cell = agg["k"].str.startswith("\x00")
+    cells = agg[is_cell]
     cmat = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
-    cmat[counters["j"].to_numpy(), counters["col"].to_numpy()] = \
-        counters["n"].to_numpy()
-
-    def tok_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for s in t.column("text").to_pylist():
-            c.update(T.ascii_tokens(s))
-        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(np.array(list(c.values()),
-                                                dtype=np.int64))})
-
-    exact = (read_table(sf_dir, "documents", ["text"])
-             .map_batches(tok_partial, batch_format="pyarrow")
-             .groupby("token")
-             .aggregate(Sum("n", alias_name="exact_count"))).to_pandas()
+    if len(cells):
+        jc = cells["k"].str[1:].str.split(":", expand=True).astype(np.int64)
+        cmat[jc[0].to_numpy(), jc[1].to_numpy()] = cells["n"].to_numpy()
+    exact = (agg[~is_cell].rename(columns={"k": "token",
+                                           "n": "exact_count"})
+             .reset_index(drop=True))
 
     est = np.array([min(cmat[j, col] for j, col in enumerate(cms_cols(tok)))
                     for tok in exact["token"]], dtype=np.int64)
