@@ -2432,9 +2432,11 @@ def x_png_features(sf_dir: str):
         return pa.table({"url": t["url"],
                          "payload": pa.array(payloads, pa.binary())})
 
+    # task workers (instance, not actor pool): the stage is stateless and
+    # an actor pool respawns per execution (BASELINE.md round-3 A/B)
     feats = (ds.map_batches(to_payload, batch_format="pyarrow")
-               .map_batches(ImageFeatureStage, batch_format="pyarrow",
-                            batch_size=32, concurrency=2))
+               .map_batches(ImageFeatureStage(), batch_format="pyarrow",
+                            batch_size=32))
     return feats.map_batches(_fingerprint_features, batch_format="pyarrow")
 
 
