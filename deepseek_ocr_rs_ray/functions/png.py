@@ -227,6 +227,109 @@ def encode_png(img: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
             + _chunk(b"IEND", b""))
 
 
+# --- APNG (animated PNG) — the real multi-frame container -----------------
+#
+# Restricted profile (encoder emits it; decoder validates it): every frame
+# is full-canvas (x=y=0, width/height = IHDR), dispose_op=NONE,
+# blend_op=SOURCE, 8-bit RGB, each frame's data its own complete zlib
+# stream. That makes every frame standalone — exactly the shape a
+# distributed frame-sampling stage wants (no inter-frame compositing
+# state). Out-of-profile APNGs raise ValueError (fail-fast, like the
+# other codec guards).
+
+_FCTL_LEN = 26
+
+
+def is_apng(data: bytes) -> bool:
+    """PNG signature + an acTL chunk before the first IDAT."""
+    if not is_png(data):
+        return False
+    try:
+        for name, _ in _chunks(data):
+            if name == b"acTL":
+                return True
+            if name == b"IDAT":
+                return False
+    except ValueError:
+        return False
+    return False
+
+
+def encode_apng(frames, level: int = 6) -> bytes:
+    """List of same-shape (H, W, 3) uint8 frames → APNG bytes."""
+    if not frames:
+        raise ValueError("encode_apng needs at least one frame")
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = frames[0].shape
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("encode_apng frames must share one (H, W, 3)")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    out = bytearray(PNG_SIGNATURE)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for k, f in enumerate(frames):
+        fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, 1, 10, 0, 0)
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        raw = b"".join(b"\x00" + f[y].tobytes() for y in range(h))
+        z = zlib.compress(raw, level)
+        if k == 0:
+            out += _chunk(b"IDAT", z)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng(data: bytes):
+    """APNG bytes → list of (H, W, 3) uint8 RGB frames (restricted
+    profile; see module section comment)."""
+    meta = png_meta(data)
+    if meta["bit_depth"] != 8 or meta["color_type"] != 2:
+        raise ValueError("APNG: only 8-bit RGB supported")
+    w, h = meta["width"], meta["height"]
+    n_frames: Optional[int] = None
+    frames = []
+    cur: Optional[bytearray] = None
+    for name, body in _chunks(data):
+        if name == b"acTL":
+            n_frames = struct.unpack(">I", body[:4])[0]
+        elif name == b"fcTL":
+            if len(body) != _FCTL_LEN:
+                raise ValueError("APNG: bad fcTL length")
+            (_seq, fw, fh, x, y, _dn, _dd,
+             dispose, blend) = struct.unpack(">IIIIIHHBB", body)
+            if (fw, fh, x, y) != (w, h, 0, 0) or dispose != 0 or blend != 0:
+                raise ValueError(
+                    "APNG: only full-canvas NONE/SOURCE frames supported")
+            if cur is not None:
+                frames.append(bytes(cur))
+            cur = bytearray()
+        elif name == b"IDAT":
+            if cur is None:
+                raise ValueError("APNG: IDAT before first fcTL")
+            cur += body
+        elif name == b"fdAT":
+            if cur is None:
+                raise ValueError("APNG: fdAT before first fcTL")
+            cur += body[4:]                       # strip sequence number
+        elif name == b"IEND":
+            if cur is not None:
+                frames.append(bytes(cur))
+    if n_frames is None:
+        raise ValueError("not an APNG (no acTL chunk)")
+    if len(frames) != n_frames:
+        raise ValueError(f"APNG: {len(frames)} frames, acTL says {n_frames}")
+    out = []
+    for z in frames:
+        recon = _unfilter(zlib.decompress(z), h, w * 3, 3)
+        out.append(np.ascontiguousarray(recon.reshape(h, w, 3)))
+    return out
+
+
 def parse_data_url(url: str) -> Tuple[str, bytes]:
     """``data:<mime>;base64,<payload>`` → (mime, raw bytes). Plain (percent-
     free) non-base64 data URLs decode as latin-1 text. Raises ValueError on

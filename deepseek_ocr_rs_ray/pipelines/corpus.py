@@ -2440,6 +2440,54 @@ def x_png_features(sf_dir: str):
     return feats.map_batches(_fingerprint_features, batch_format="pyarrow")
 
 
+def apng_frames_sql(sf_dir: str) -> str:
+    # APNG frames decode losslessly to the RAW2 clip's frame slabs, so the
+    # expected per-frame fingerprints are the same side-table.
+    return frames_sql(sf_dir)
+
+
+def _ensure_apng_inputs_aux(sf_dir: str) -> None:
+    """Real multi-frame container inputs: each OCR payload's RAW2 clip
+    (vertical 64px frame stack) re-encoded as an APNG — the animated-PNG
+    standard, decodable on stdlib zlib (functions/png.py)."""
+
+    def build() -> pa.Table:
+        from ..functions.png import encode_apng
+        from ..functions.raster import decode_payload
+        urls, payloads = [], []
+        for meta in _ocr_payload_metas(sf_dir):
+            img, _s, _m = decode_payload(meta["payload"])
+            n_frames = max(img.shape[0] // 64, 1)
+            frames = [img[t * 64:(t + 1) * 64] for t in range(n_frames)]
+            urls.append(meta["url"])
+            payloads.append(encode_apng(frames))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    _ensure_aux("apng_inputs.parquet", sf_dir, build)
+
+
+def x_apng_frames(sf_dir: str):
+    """Real multi-frame container end-to-end: APNG decode → per-frame
+    features, SQL-oracled against the RAW2 clip fake's expected per-frame
+    fingerprints — cross-container equality (the APNG round trip must
+    reproduce every frame slab's pixels exactly)."""
+    import os as _os
+
+    import ray.data
+
+    from ..stages.multimodal import FrameSampleStage
+    _ensure_apng_inputs_aux(sf_dir)
+    _ensure_aux("frames_expected.parquet", sf_dir,
+                lambda: _expected_features_frames(sf_dir)[1])
+    ds = ray.data.read_parquet(
+        _os.path.join(aux_dir_for(sf_dir), "apng_inputs.parquet"))
+    frames = ds.map_batches(
+        FrameSampleStage(frame_h=64, stride=2, codec="apng"),
+        batch_format="pyarrow", batch_size=32)
+    return frames.map_batches(_fingerprint_features, batch_format="pyarrow")
+
+
 # --- q_prompt_tokens: M1 (template render) + M11 (placeholder expansion) ---
 # The prompt text around the <image> slot is a CONSTANT of the operator, so
 # its token count embeds as a literal; the data-dependent part (the tile

@@ -152,24 +152,42 @@ class ImageFeatureStage:
 
 
 class FrameSampleStage:
-    """Video frame sampling over an opaque binary column.
+    """Multi-frame sampling over an opaque binary column.
 
-    Real containers (mp4/webm) are NOT supported here — the decoder stack
-    isn't in this environment; constructing with ``codec != "raw2"`` raises
-    NotImplementedError at init (per-actor, so misconfiguration fails fast).
-    The deterministic fake treats a RAW2 payload of height T*frame_h as a
-    T-frame clip and emits every ``stride``-th frame's metadata + features.
+    Containers, sniff-dispatched per payload:
+
+    - **APNG** (``functions/png.py::decode_apng``) — a real animated-image
+      standard, frames decoded independently (restricted full-canvas
+      profile, validated);
+    - **RAW2 clip fake** — a RAW2 payload of height T*frame_h read as a
+      T-frame vertical stack.
+
+    True video containers (mp4/webm) are NOT supported — the decoder
+    stack isn't in this environment; constructing with an unsupported
+    ``codec`` raises NotImplementedError at init (per-actor, so
+    misconfiguration fails fast). Every ``stride``-th frame's features
+    are emitted.
     """
 
     def __init__(self, frame_h: int = 64, stride: int = 2,
                  codec: str = "raw2") -> None:
-        if codec != "raw2":
+        if codec not in ("raw2", "apng"):
             raise NotImplementedError(
                 f"video codec {codec!r} requires ffmpeg/PyAV, absent from "
-                "this container — only the deterministic 'raw2' clip format "
-                "is supported")
+                "this container — only 'raw2' clips and 'apng' are "
+                "supported")
         self.frame_h = frame_h
         self.stride = stride
+
+    def _frames(self, payload: bytes):
+        if png.is_apng(payload):
+            return png.decode_apng(payload)
+        img, _scale, _margin = decode_image_payload(payload)
+        if png.is_png(payload):
+            return [img]                       # plain PNG = 1-frame clip
+        n_frames = max(img.shape[0] // self.frame_h, 1)
+        return [img[t * self.frame_h:(t + 1) * self.frame_h]
+                for t in range(n_frames)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = {"url": [], "frame_index": [], "features": []}
@@ -178,12 +196,11 @@ class FrameSampleStage:
             if not payload:
                 continue
             try:
-                img, _scale, _margin = decode_image_payload(payload)
+                frames = self._frames(payload)
             except ValueError:
                 continue
-            n_frames = max(img.shape[0] // self.frame_h, 1)
-            for t in range(0, n_frames, self.stride):
-                frame = img[t * self.frame_h:(t + 1) * self.frame_h]
+            for t in range(0, len(frames), self.stride):
+                frame = frames[t]
                 if frame.size == 0:
                     continue
                 rows["url"].append(url)

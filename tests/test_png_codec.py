@@ -173,3 +173,63 @@ def test_dispatch_parity_with_raw2():
     m = ImageDecodeMeta()(batch)
     assert m.num_rows == 2
     assert m["glyph_scale"].to_pylist()[1] == -1
+
+
+def test_apng_round_trip():
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+              for _ in range(5)]
+    data = png.encode_apng(frames)
+    assert png.is_png(data) and png.is_apng(data)
+    assert not png.is_apng(png.encode_png(frames[0]))
+    out = png.decode_apng(data)
+    assert len(out) == 5
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    # a plain-PNG reader of the same bytes sees frame 0 (spec behavior)
+    assert (png.decode_png(data) == frames[0]).all()
+    # single-frame APNG
+    one = png.decode_apng(png.encode_apng(frames[:1]))
+    assert len(one) == 1 and (one[0] == frames[0]).all()
+
+
+def test_apng_rejects():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        png.decode_apng(png.encode_png(img))        # no acTL
+    with pytest.raises(ValueError):
+        png.encode_apng([])
+    with pytest.raises(ValueError):
+        png.encode_apng([img, img[:4]])             # mismatched shapes
+
+
+def test_frame_stage_apng_matches_raw2_clip():
+    """FrameSampleStage over an APNG of the clip's frame slabs emits the
+    SAME (frame_index, features) rows as the RAW2 vertical-stack fake."""
+    import pyarrow as pa
+
+    from deepseek_ocr_rs_ray.fixtures.pages import gen_page, is_ocr_row, page_url
+    from deepseek_ocr_rs_ray.functions.raster import decode_payload
+    from deepseek_ocr_rs_ray.stages.multimodal import FrameSampleStage
+
+    metas = [gen_page(i)["payload_meta"] for i in range(200)
+             if is_ocr_row(page_url(i))]
+    meta = metas[0]
+    img, _s, _m = decode_payload(meta["payload"])
+    n_frames = max(img.shape[0] // 64, 1)
+    frames = [img[t * 64:(t + 1) * 64] for t in range(n_frames)]
+    batch = pa.table({
+        "url": pa.array(["raw2://a", "apng://a"]),
+        "payload": pa.array([meta["payload"], png.encode_apng(frames)],
+                            pa.binary()),
+    })
+    out = FrameSampleStage(frame_h=64, stride=2)(batch).to_pandas()
+    raw2 = out[out["url"] == "raw2://a"].reset_index(drop=True)
+    apng = out[out["url"] == "apng://a"].reset_index(drop=True)
+    assert len(raw2) == len(apng) > 0
+    assert (raw2["frame_index"].values == apng["frame_index"].values).all()
+    for a, b in zip(raw2["features"], apng["features"]):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(codec="mp4")
