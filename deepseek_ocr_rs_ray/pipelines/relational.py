@@ -1644,3 +1644,103 @@ SELECT c_custkey, c_mktsegment,
          AS quartile
 FROM customer
 """
+
+
+def q_rank_orders(sf_dir: str, order_bits: int = ORDER_BUCKET_BITS):
+    """RANK() and DENSE_RANK() of every order's total price within its
+    priority class — the tie-aware window functions, distributed.
+
+    Two-phase order-bucket rank (same primitive as q_ntile_balance /
+    q_value_percentiles): equal values always share an ``f64_order_bucket``,
+    so tie groups never straddle a bucket boundary and both rank variants
+    are exactly local-rank + bucket offset. Phase 1 pre-aggregates
+    per-batch (priority, bucket, value, n) rows and reduces each bucket to
+    (n_rows, n_distinct); the driver prefix-sums those into row- and
+    distinct-space offsets (O(priorities × non-empty buckets) rows).
+    Phase 2 co-groups each (priority, bucket) and ranks locally against
+    the offsets. No task ever holds more than one value-bucket of one
+    priority class.
+    """
+    import ray
+    ds = read_table(sf_dir, "orders",
+                    ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        b = f64_order_bucket(t["o_totalprice"].to_numpy(zero_copy_only=False),
+                             order_bits)
+        tmp = pa.table({"o_orderpriority": t["o_orderpriority"],
+                        "bucket": pa.array(b),
+                        "v": t["o_totalprice"],
+                        "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return tmp.group_by(["o_orderpriority", "bucket", "v"]).aggregate(
+            [("n", "sum")])
+
+    def bucket_summary(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+            "bucket": [np.int64(g["bucket"].iloc[0])],
+            "n_rows": [np.int64(g["n_sum"].sum())],
+            "n_distinct": [np.int64(g["v"].nunique())]})
+
+    counts = (ds.map_batches(counts_partial, batch_format="pyarrow")
+                .groupby(["o_orderpriority", "bucket"])
+                .map_groups(bucket_summary, batch_format="pandas")
+                .to_pandas())
+
+    row_off: dict = {}
+    dist_off: dict = {}
+    for pri, g in counts.groupby("o_orderpriority"):
+        g = g.sort_values("bucket")
+        rows_cum = g["n_rows"].to_numpy(dtype=np.int64).cumsum()
+        dist_cum = g["n_distinct"].to_numpy(dtype=np.int64).cumsum()
+        for bk, ro, do in zip(g["bucket"].to_numpy(dtype=np.int64),
+                              rows_cum - g["n_rows"].to_numpy(dtype=np.int64),
+                              dist_cum - g["n_distinct"].to_numpy(dtype=np.int64)):
+            row_off[(pri, int(bk))] = int(ro)
+            dist_off[(pri, int(bk))] = int(do)
+    off_ref = ray.put((row_off, dist_off))
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = f64_order_bucket(t["o_totalprice"].to_numpy(zero_copy_only=False),
+                             order_bits)
+        return t.append_column("bucket", pa.array(b))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        ro, do = ray.get(off_ref)
+        key = (g["o_orderpriority"].iloc[0], int(g["bucket"].iloc[0]))
+        v = g["o_totalprice"].to_numpy(dtype=np.float64)
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        # min-rank within tie runs = index of each run start (searchsorted
+        # left); dense rank = run ordinal
+        starts = np.searchsorted(sv, sv, side="left")
+        new_run = np.concatenate([[True], sv[1:] != sv[:-1]])
+        dense_sorted = np.cumsum(new_run)
+        rank = np.empty(len(v), dtype=np.int64)
+        dense = np.empty(len(v), dtype=np.int64)
+        rank[order] = starts + 1 + ro[key]
+        dense[order] = dense_sorted + do[key]
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "o_orderpriority": g["o_orderpriority"],
+            "o_totalprice": v,
+            "price_rank": rank,
+            "price_dense_rank": dense})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby(["o_orderpriority", "bucket"])
+              .map_groups(assign, batch_format="pandas")
+              .select_columns(["o_orderkey", "o_orderpriority",
+                               "o_totalprice", "price_rank",
+                               "price_dense_rank"]))
+
+
+Q_RANK_ORDERS_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(RANK() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice) AS BIGINT) AS price_rank,
+       CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice) AS BIGINT)
+         AS price_dense_rank
+FROM orders
+"""

@@ -182,3 +182,53 @@ def test_round4_sql_oracle_parity(ray_session, qname):
     ray_df = to_pandas(m.queries()[qname](SF))
     sql_df = con.execute(m.oracle_sql_for(SF)[qname]).fetchdf()
     assert compare(qname, ray_df, sql_df) == []
+
+
+def test_rank_orders_granularity_parity(ray_session):
+    """RANK/DENSE_RANK via two-phase order-bucket rank: near-degenerate
+    bucket granularity (order_bits=2) must agree with the default."""
+    from deepseek_ocr_rs_ray.pipelines.relational import q_rank_orders
+
+    def canon(ds):
+        return (ds.to_pandas().sort_values("o_orderkey")
+                .reset_index(drop=True))
+    a = canon(q_rank_orders(SF))
+    b = canon(q_rank_orders(SF, order_bits=2))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rank_orders_heavy_ties(ray_session, tmp_path):
+    """Deliberately tie-heavy orders table: both rank variants must match
+    DuckDB's window functions exactly (min-rank ties, dense run ordinals)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepseek_ocr_rs_ray.pipelines.relational import (Q_RANK_ORDERS_SQL,
+                                                          q_rank_orders)
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_orderpriority": pa.array(
+            [f"{k}-P" for k in rng.integers(1, 4, n)]),
+        # only 7 distinct prices → massive tie runs, some spanning batches
+        "o_totalprice": pa.array(
+            rng.choice([10.0, 20.0, 20.5, 30.0, -5.25, 0.0, 10.0], n)),
+    })
+    d = tmp_path / "tieorders"
+    d.mkdir()
+    pq.write_table(t, str(d / "orders.parquet"))
+    ray_df = (q_rank_orders(str(tmp_path / "tieorders"))
+              .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{d}/orders.parquet')")
+    sql_df = (con.execute(Q_RANK_ORDERS_SQL).fetchdf()
+              .sort_values("o_orderkey").reset_index(drop=True))
+    for col in ("o_orderkey", "price_rank", "price_dense_rank"):
+        assert (ray_df[col].to_numpy() == sql_df[col].to_numpy()).all(), col
+    assert (ray_df["o_totalprice"].to_numpy()
+            == sql_df["o_totalprice"].to_numpy()).all()
+    assert (ray_df["price_rank"] != ray_df["price_dense_rank"]).any()
