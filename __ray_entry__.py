@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bigram_lm_score": Q.q_bigram_lm_score,
         "x_apng_frames": C.x_apng_frames,
         "q_rank_orders": R.q_rank_orders,
+        "x_jpeg_features": C.x_jpeg_features,
     }
 
 
@@ -217,6 +218,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_bigram_lm_score": Q.Q_BIGRAM_LM_SQL,
         "x_apng_frames": C.apng_frames_sql(sf_dir),
         "q_rank_orders": R.Q_RANK_ORDERS_SQL,
+        "x_jpeg_features": C.jpeg_features_sql(sf_dir),
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

@@ -45,7 +45,7 @@ BENCH_QUERIES_EXT = [
     "q_pmi_pairs", "q_inverted_index",
     "q_gopher_repetition", "q_token_entropy", "q_ntile_balance",
     "x_png_features", "q_decontaminate", "q_bigram_lm_score",
-    "x_apng_frames", "q_rank_orders",
+    "x_apng_frames", "q_rank_orders", "x_jpeg_features",
 ]
 
 

@@ -2048,6 +2048,7 @@ def prepare_oracle_aux(sf_dir: str, force: bool = False) -> None:
     _ensure_aux("minhash_pairs_expected.parquet", sf_dir,
                 lambda: _expected_minhash_pairs(sf_dir),
                 extra=f"t={MINHASH_THRESHOLD}")
+    _ensure_jpeg_aux(sf_dir)
     with open(stamp_path + ".tmp", "w") as f:
         f.write(stamp)
     os.replace(stamp_path + ".tmp", stamp_path)
@@ -2486,6 +2487,86 @@ def x_apng_frames(sf_dir: str):
         FrameSampleStage(frame_h=64, stride=2, codec="apng"),
         batch_format="pyarrow", batch_size=32)
     return frames.map_batches(_fingerprint_features, batch_format="pyarrow")
+
+
+JPEG_INPUT_QUALITY = 85
+JPEG_SAMPLE_EVERY = 6   # codec-validation op, not a throughput op: the aux
+#                         builder runs the codec single-process (oracle
+#                         side), so the input set is a deterministic sample
+#                         of the OCR payloads (every 6th, min 8) to keep
+#                         prepare_oracle_aux bounded (~1.4 s/image)
+
+
+def jpeg_features_sql(sf_dir: str) -> str:
+    # JPEG is LOSSY: the expected fingerprints come from the same
+    # single-process decode of the same bytes (thumbs_expected discipline),
+    # pinning distributed == single-process — not pre-compression pixels.
+    return (f"SELECT url, n_dims, features_md5 FROM read_parquet("
+            f"'{aux_dir_for(sf_dir)}/jpeg_features_expected.parquet')")
+
+
+_JPEG_CACHE: dict = {}
+
+
+def _jpeg_tables(sf_dir: str):
+    """(inputs, expected) pair: generator images → baseline JPEG bytes,
+    plus single-process decode→feature fingerprints of those bytes."""
+    from ..functions.jpeg import decode_jpeg, encode_jpeg
+    from ..functions.raster import decode_payload
+    from ..stages.multimodal import image_features
+    n = pages_rows_for(sf_dir)
+    if n in _JPEG_CACHE:
+        return _JPEG_CACHE[n]
+    inp = {"url": [], "payload": []}
+    exp = {"url": [], "n_dims": [], "features_md5": []}
+    metas = _ocr_payload_metas(sf_dir)
+    step = JPEG_SAMPLE_EVERY if len(metas) > 8 * JPEG_SAMPLE_EVERY else \
+        max(1, len(metas) // 8)
+    for meta in metas[::step]:
+        img, _s, _m = decode_payload(meta["payload"])
+        jb = encode_jpeg(img, JPEG_INPUT_QUALITY)
+        v = image_features(decode_jpeg(jb))
+        inp["url"].append(meta["url"])
+        inp["payload"].append(jb)
+        exp["url"].append(meta["url"])
+        exp["n_dims"].append(len(v))
+        exp["features_md5"].append(_feat_md5(v))
+    pair = (pa.table({"url": pa.array(inp["url"], pa.string()),
+                      "payload": pa.array(inp["payload"], pa.binary())}),
+            pa.table({"url": pa.array(exp["url"], pa.string()),
+                      "n_dims": pa.array(exp["n_dims"], pa.int64()),
+                      "features_md5": pa.array(exp["features_md5"],
+                                               pa.string())}))
+    _JPEG_CACHE[n] = pair
+    return pair
+
+
+def _ensure_jpeg_aux(sf_dir: str) -> None:
+    extra = f"q={JPEG_INPUT_QUALITY},s={JPEG_SAMPLE_EVERY}"
+    _ensure_aux("jpeg_inputs.parquet", sf_dir,
+                lambda: _jpeg_tables(sf_dir)[0], extra=extra)
+    _ensure_aux("jpeg_features_expected.parquet", sf_dir,
+                lambda: _jpeg_tables(sf_dir)[1], extra=extra)
+
+
+def x_jpeg_features(sf_dir: str):
+    """Lossy real image format end-to-end: baseline JPEG decode
+    (functions/jpeg.py — spec-implemented, general DHT/DQT parsing) →
+    feature vectors, SQL-oracled against the single-process decode of the
+    same bytes (the thumbs_expected pattern for lossy codecs)."""
+    import os as _os
+
+    import ray.data
+
+    from ..stages.multimodal import ImageFeatureStage
+    _ensure_jpeg_aux(sf_dir)
+    ds = ray.data.read_parquet(
+        _os.path.join(aux_dir_for(sf_dir), "jpeg_inputs.parquet"))
+    # batch_size=1: ~1 s of pure-Python Huffman/IDCT per payload — one row
+    # per task keeps the decode wide instead of serialized in one batch
+    feats = ds.map_batches(ImageFeatureStage(), batch_format="pyarrow",
+                           batch_size=1)
+    return feats.map_batches(_fingerprint_features, batch_format="pyarrow")
 
 
 # --- q_prompt_tokens: M1 (template render) + M11 (placeholder expansion) ---

@@ -27,27 +27,34 @@ from typing import List
 import numpy as np
 import pyarrow as pa
 
-from ..functions import png, raster
+from ..functions import jpeg, png, raster
 from ..functions.imageops import resize_bicubic
 
 REAL_VIDEO_CODECS = False  # no ffmpeg/PIL in this container
 
+JPEG_THUMB_QUALITY = 85
+
 
 def decode_image_payload(payload: bytes):
-    """Sniff-dispatch decode: PNG (functions/png.py, the real-format path)
-    or RAW2 → ((H, W, 3) uint8, glyph_scale, margin). PNG carries no glyph
-    raster metadata, so those fields are 0. Raises ValueError on neither."""
+    """Sniff-dispatch decode: PNG / baseline JPEG (functions/png.py,
+    functions/jpeg.py — the real-format paths) or RAW2 →
+    ((H, W, 3) uint8, glyph_scale, margin). PNG/JPEG carry no glyph
+    raster metadata, so those fields are 0. Raises ValueError on none."""
     if png.is_png(payload):
         return png.decode_png(payload), 0, 0
+    if jpeg.is_jpeg(payload):
+        return jpeg.decode_jpeg(payload), 0, 0
     return raster.decode_payload(payload)
 
 
 def image_payload_meta(payload: bytes):
-    """Header-only metadata for either supported format (None = neither).
-    PNG has no glyph_scale; reported as -1 so the column stays int64."""
-    if png.is_png(payload):
+    """Header-only metadata for any supported format (None = none of them).
+    PNG/JPEG have no glyph_scale; reported as -1 so the column stays
+    int64."""
+    if png.is_png(payload) or jpeg.is_jpeg(payload):
         try:
-            m = png.png_meta(payload)
+            m = (png.png_meta(payload) if png.is_png(payload)
+                 else jpeg.jpeg_meta(payload))
         except ValueError:
             return None
         return {"width": m["width"], "height": m["height"],
@@ -95,9 +102,11 @@ class ImageResizeStage:
             except ValueError:
                 continue
             small = resize_bicubic(img, self.thumb, self.thumb)
-            # re-encode in the INPUT's format: PNG in -> PNG thumb out
+            # re-encode in the INPUT's format
             if png.is_png(payload):
                 thumbs.append(png.encode_png(small))
+            elif jpeg.is_jpeg(payload):
+                thumbs.append(jpeg.encode_jpeg(small, JPEG_THUMB_QUALITY))
             else:
                 thumbs.append(raster.encode_payload(small, scale, margin))
             urls.append(url)
