@@ -15,8 +15,9 @@ spec (ITU-T T.81):
   stream (works against any baseline encoder's tables), Huffman-decodes
   the entropy stream with byte-unstuffing, dequantizes, inverse DCT,
   YCbCr → RGB. Supported: 8-bit, 1 or 3 components, 4:4:4 sampling.
-  Progressive (SOF2), subsampled, arithmetic and 12-bit streams raise
-  ValueError (fail-fast, like the other codec guards).
+  Progressive (SOF2), subsampled, arithmetic, 12-bit and
+  restart-interval (DRI/RSTn) streams raise ValueError (fail-fast, like
+  the other codec guards).
 
 Lossy by nature: round trips assert closeness (PSNR) + bit-determinism,
 not pixel identity; the oracle discipline for JPEG-fed queries pins the
