@@ -28,6 +28,7 @@ thumbs_expected pattern), not against pre-compression pixels.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -66,6 +67,22 @@ _UNZZ = np.argsort(_ZZ)
 _N = np.arange(8)
 _DCT = np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16) * 0.5
 _DCT[0, :] *= 1 / np.sqrt(2)          # orthonormal: D @ B @ D.T
+
+
+def _as_value_errors(fn):
+    """Decode/meta entry points promise ValueError on ANY malformed input;
+    truncated buffers surface as struct.error / IndexError and corrupt
+    deflate streams as zlib.error from the internals — normalize them so
+    callers' `except ValueError` row-skip guards actually skip the row."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, zlib.error, IndexError) as e:
+            raise ValueError(f"{fn.__name__}: malformed input ({e})") from e
+    return wrapped
 
 
 def is_jpeg(data: bytes) -> bool:
@@ -386,6 +403,7 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+@_as_value_errors
 def jpeg_meta(data: bytes) -> Dict[str, int]:
     """Header-only probe: SOF dimensions + component count."""
     if not is_jpeg(data):
@@ -406,6 +424,7 @@ def jpeg_meta(data: bytes) -> Dict[str, int]:
     raise ValueError("JPEG: no SOF marker found")
 
 
+@_as_value_errors
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → (H, W, 3) uint8 RGB (grayscale replicated)."""
     if not is_jpeg(data):

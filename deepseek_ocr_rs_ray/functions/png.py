@@ -29,6 +29,23 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+def _as_value_errors(fn):
+    """Decode/meta entry points promise ValueError on ANY malformed input;
+    truncated buffers surface as struct.error / IndexError and corrupt
+    deflate streams as zlib.error from the internals — normalize them so
+    callers' `except ValueError` row-skip guards actually skip the row."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, zlib.error, IndexError) as e:
+            raise ValueError(f"{fn.__name__}: malformed input ({e})") from e
+    return wrapped
+
+
+
 
 def is_png(data: bytes) -> bool:
     return len(data) >= 8 and data[:8] == PNG_SIGNATURE
@@ -55,6 +72,7 @@ def _chunks(data: bytes):
     raise ValueError("PNG: missing IEND")
 
 
+@_as_value_errors
 def png_meta(data: bytes) -> Dict[str, int]:
     """Header-only probe (no decompression): IHDR fields."""
     if not is_png(data):
@@ -129,6 +147,7 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return recon
 
 
+@_as_value_errors
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (H, W, 3) uint8 RGB. Raises ValueError on unsupported
     shapes (16-bit, sub-byte depths, Adam7) or corrupt streams."""
@@ -284,6 +303,7 @@ def encode_apng(frames, level: int = 6) -> bytes:
     return bytes(out)
 
 
+@_as_value_errors
 def decode_apng(data: bytes):
     """APNG bytes → list of (H, W, 3) uint8 RGB frames (restricted
     profile; see module section comment)."""

@@ -876,6 +876,24 @@ def _tok_ngrams(s: str, n: int):
     return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
 
+_BENCH_SET_CACHE: dict = {}
+
+
+def _bench_set_cached(ref):
+    """Per-worker memo of set(ray.get(ref)): ray.get caches the plasma
+    object per worker but the O(|bench|) set construction is not free —
+    build it once per (worker, broadcast object), not once per batch."""
+    import ray
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    s = _BENCH_SET_CACHE.get(key)
+    if s is None:
+        if len(_BENCH_SET_CACHE) > 4:      # bound worker memory across jobs
+            _BENCH_SET_CACHE.clear()
+        s = set(ray.get(ref))
+        _BENCH_SET_CACHE[key] = s
+    return s
+
+
 def q_decontaminate(sf_dir: str, broadcast_cap: int = None):
     """Per-train-doc count of DISTINCT n-grams shared with the benchmark
     split (docs with any overlap are what a real pipeline drops/flags).
@@ -915,7 +933,7 @@ def q_decontaminate(sf_dir: str, broadcast_cap: int = None):
     bench_ref = ray.put(np.array(sorted(bench), dtype=object))
 
     def probe(t: pa.Table) -> pa.Table:
-        grams = set(ray.get(bench_ref))
+        grams = _bench_set_cached(bench_ref)
         out_ids, out_hits = [], []
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         for i, s in zip(ids, t["text"].to_pylist()):
@@ -952,8 +970,25 @@ def _decontaminate_join_fallback(docs, bench_ds):
 
     train = docs.map_batches(explode, batch_format="pyarrow")
     # bench_ds rows are per-batch-distinct; global-dedup them so the join
-    # can't multiply a train row across duplicate bench rows
-    bench_unique = bench_ds.groupby("g").count().select_columns(["g"])
+    # can't multiply a train row across duplicate bench rows. Dedup is
+    # sharded (256 bounded groups via a deterministic crc32 of the
+    # n-gram), NOT a groupby over the raw >cap-sized key space — the
+    # CLAUDE.md high-cardinality-groupby rule; this path only runs when
+    # the bench side exceeds the broadcast cap, i.e. exactly when the key
+    # space is huge.
+    import zlib as _zlib
+
+    def tag_shard(t: pa.Table) -> pa.Table:
+        shards = np.array([_zlib.crc32(g.encode()) & 255
+                           for g in t["g"].to_pylist()], dtype=np.int64)
+        return t.append_column("shard", pa.array(shards))
+
+    def shard_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": g["g"].unique()})
+
+    bench_unique = (bench_ds.map_batches(tag_shard, batch_format="pyarrow")
+                    .groupby("shard")
+                    .map_groups(shard_dedup, batch_format="pandas"))
     n_parts = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
     joined = train.join(bench_unique, join_type="inner",
                         num_partitions=n_parts, on=("g",))

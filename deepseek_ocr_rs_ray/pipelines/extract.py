@@ -340,15 +340,24 @@ def run_extract_job(input_paths: Sequence[str], out_dir: str,
         for wave, wave_files in pending:
             _account(_run_one_wave(out_dir, wave, wave_files, cfg, size_cuts))
     else:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=overlap) as ex:
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+        ex = ThreadPoolExecutor(max_workers=overlap)
+        try:
             futs = [ex.submit(_run_one_wave, out_dir, wave, wave_files,
                               cfg, size_cuts)
                     for wave, wave_files in pending]
-            # surface the FIRST failure but let in-flight waves finish
-            # committing (their output stays valid for resume)
-            for f in futs:
-                _account(f.result())
+            try:
+                # surface the FIRST failure as soon as it happens —
+                # queued-but-unstarted waves are cancelled; waves already
+                # in flight finish committing (their output stays valid
+                # for resume, which simply skips them on the re-run)
+                for f in as_completed(futs):
+                    _account(f.result())
+            except BaseException:
+                ex.shutdown(wait=True, cancel_futures=True)
+                raise
+        finally:
+            ex.shutdown(wait=True)
 
     if summary["waves_run"]:
         _write_job_report(out_dir)

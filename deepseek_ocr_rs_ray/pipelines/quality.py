@@ -274,7 +274,11 @@ def q_bigram_lm_score(sf_dir: str):
         for i, s in zip(ids, t["text"].to_pylist()):
             if int(i) % LM_TRAIN_MOD != 0:
                 continue
-            toks = T.ascii_tokens(s)
+            # NUL-prefixed tokens are reserved for the sentinel rows;
+            # DuckDB VARCHAR cannot carry NULs, so an oracle-comparable
+            # corpus has none — defensive skip only
+            toks = [t for t in T.ascii_tokens(s)
+                    if not t.startswith("\x00")]
             vocab.update(toks)
             ctx_c.update(toks[:-1])
             bg_c.update(zip(toks, toks[1:]))
@@ -305,6 +309,14 @@ def q_bigram_lm_score(sf_dir: str):
     bg_rows = agg[(agg["b"] != "") & (agg["b"] != "\x00v")]
     bg = {(a, b): int(n) for a, b, n in
           zip(bg_rows["a"], bg_rows["b"], bg_rows["n"])}
+    if v == 0:
+        # no training docs → the LM is undefined; both engines emit zero
+        # rows (the SQL filters on vocab.v > 0) instead of dividing by 0
+        import ray.data as _rd
+        return _rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "avg_lp": pa.array([], pa.float64())}))
     lm_ref = ray.put((bg, ctx, v))
 
     def score(t: pa.Table) -> pa.Table:
@@ -312,7 +324,8 @@ def q_bigram_lm_score(sf_dir: str):
         out_ids, out_n, out_lp = [], [], []
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         for i, s in zip(ids, t["text"].to_pylist()):
-            toks = T.ascii_tokens(s)
+            toks = [tk for tk in T.ascii_tokens(s)
+                    if not tk.startswith("\x00")]
             if len(toks) < 2:
                 continue
             doc_bg = Counter(zip(toks, toks[1:]))
@@ -366,6 +379,7 @@ terms AS (
 SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
        FLOOR(s / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS avg_lp
 FROM terms
+WHERE (SELECT v FROM vocab) > 0e0
 """
 
 

@@ -55,8 +55,13 @@ def f64_order_bucket(x: np.ndarray, bits: int = ORDER_BUCKET_BITS) -> np.ndarray
     order-statistic queries build on. Purely value-local (no sampling, no
     driver pass), so any worker computes the same bucket for the same
     value at any parallelism.
+
+    ``+ 0.0`` first: -0.0 == +0.0 numerically (SQL rank treats them as
+    peers) but their bit patterns differ — the addition canonicalizes
+    -0.0 to +0.0 so the equal-values-share-a-bucket invariant holds for
+    the one equal-but-bitwise-distinct float pair.
     """
-    b = np.ascontiguousarray(x, dtype=np.float64).view(np.uint64)
+    b = (np.ascontiguousarray(x, dtype=np.float64) + 0.0).view(np.uint64)
     neg = b >> np.uint64(63) != 0
     mono = np.where(neg, ~b, b | np.uint64(1 << 63))
     return (mono >> np.uint64(64 - bits)).astype(np.int64)
@@ -1150,6 +1155,14 @@ def q_value_percentiles(sf_dir: str, order_bits: int = ORDER_BUCKET_BITS):
               .groupby(["event_type", "bucket"])
               .aggregate(Sum("n_sum", alias_name="n"))
               .to_pandas())
+
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                          "p50": pd.Series([], dtype=np.float64),
+                          "p90": pd.Series([], dtype=np.float64),
+                          "p99": pd.Series([], dtype=np.float64),
+                          "n_events": pd.Series([], dtype=np.int64)})
+    if counts.empty:
+        return empty             # empty events table: 0 groups, 0 rows
 
     # driver plan: per type, which bucket holds each target rank and at
     # what local (in-bucket) rank — O(types × stats) rows, tiny

@@ -209,6 +209,12 @@ def q_cms_tokens(sf_dir: str):
             c.update(T.ascii_tokens(s))
         keys, ns = [], []
         for tok, n in c.items():
+            if tok.startswith("\x00"):
+                # reserved for the sentinel cell keys. DuckDB VARCHAR
+                # cannot carry NUL bytes, so an oracle-comparable corpus
+                # never contains such tokens — skipping is pure
+                # robustness against a crafted binary-ish input.
+                continue
             keys.append(tok)
             ns.append(n)
             for j, col in enumerate(cms_cols(tok)):

@@ -192,8 +192,9 @@ class FrameSampleStage:
         if png.is_apng(payload):
             return png.decode_apng(payload)
         img, _scale, _margin = decode_image_payload(payload)
-        if png.is_png(payload):
-            return [img]                       # plain PNG = 1-frame clip
+        if png.is_png(payload) or jpeg.is_jpeg(payload):
+            return [img]       # single-image formats = 1-frame clip
+        # RAW2 only: the deterministic clip fake (vertical frame stack)
         n_frames = max(img.shape[0] // self.frame_h, 1)
         return [img[t * self.frame_h:(t + 1) * self.frame_h]
                 for t in range(n_frames)]

@@ -213,9 +213,12 @@ def test_rank_orders_heavy_ties(ray_session, tmp_path):
         "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
         "o_orderpriority": pa.array(
             [f"{k}-P" for k in rng.integers(1, 4, n)]),
-        # only 7 distinct prices → massive tie runs, some spanning batches
+        # few distinct prices → massive tie runs, some spanning batches;
+        # -0.0 vs 0.0 are SQL rank PEERS (equal) with distinct bit
+        # patterns — the f64_order_bucket canonicalization case
         "o_totalprice": pa.array(
-            rng.choice([10.0, 20.0, 20.5, 30.0, -5.25, 0.0, 10.0], n)),
+            rng.choice([10.0, 20.0, 20.5, 30.0, -5.25, 0.0, -0.0, 10.0],
+                       n)),
     })
     d = tmp_path / "tieorders"
     d.mkdir()
