@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_apng_frames": C.x_apng_frames,
         "q_rank_orders": R.q_rank_orders,
         "x_jpeg_features": C.x_jpeg_features,
+        "q_heavy_user_sets": R.q_heavy_user_sets,
     }
 
 
@@ -219,6 +220,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "x_apng_frames": C.apng_frames_sql(sf_dir),
         "q_rank_orders": R.Q_RANK_ORDERS_SQL,
         "x_jpeg_features": C.jpeg_features_sql(sf_dir),
+        "q_heavy_user_sets": R.Q_HEAVY_USER_SETS_SQL,
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

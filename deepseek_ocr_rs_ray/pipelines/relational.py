@@ -1757,3 +1757,82 @@ SELECT o_orderkey, o_orderpriority, o_totalprice,
          AS price_dense_rank
 FROM orders
 """
+
+
+HEAVY_USER_MIN_EVENTS = 15
+_HU_A, _HU_B = "purchase", "error"
+
+
+def q_heavy_user_sets(sf_dir: str):
+    """INTERSECT / EXCEPT over derived key sets: users with ≥15 purchases
+    (A) vs users with ≥15 errors (B), labeled both / a_only / b_only —
+    completing the set-ops family next to q_union_distinct.
+
+    One pass: per-batch (user_id, p_n, e_n) count pre-agg, then 64 hash
+    shards co-group (bounded group count; per-group size = users/64, the
+    q_union_distinct sharded-distinct shape) and compute membership from
+    exact int64 totals. No per-set passes, no high-cardinality groupby.
+    """
+    from collections import defaultdict
+
+    ds = read_table(sf_dir, "events", ["user_id", "event_type"])
+    N_SHARDS = 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        agg: dict = defaultdict(lambda: [0, 0])
+        for u, e in zip(users, et):
+            if e == _HU_A:
+                agg[int(u)][0] += 1
+            elif e == _HU_B:
+                agg[int(u)][1] += 1
+        ids = np.array(sorted(agg), dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(ids),
+            "shard": pa.array(ids & (N_SHARDS - 1)),
+            "p_n": pa.array(np.array([agg[int(u)][0] for u in ids],
+                                     dtype=np.int64)),
+            "e_n": pa.array(np.array([agg[int(u)][1] for u in ids],
+                                     dtype=np.int64)),
+        })
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id")[["p_n", "e_n"]].sum()
+        in_a = s["p_n"] >= HEAVY_USER_MIN_EVENTS
+        in_b = s["e_n"] >= HEAVY_USER_MIN_EVENTS
+        s = s[in_a | in_b]
+        in_a, in_b = in_a[s.index], in_b[s.index]
+        lab = np.where(in_a & in_b, "both",
+                       np.where(in_a, "a_only", "b_only"))
+        return pd.DataFrame({
+            "user_id": s.index.to_numpy(dtype=np.int64),
+            "in_a": in_a.to_numpy().astype(np.int64),
+            "in_b": in_b.to_numpy().astype(np.int64),
+            "set_label": lab,
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("shard")
+              .map_groups(label, batch_format="pandas")
+              .select_columns(["user_id", "in_a", "in_b", "set_label"]))
+
+
+Q_HEAVY_USER_SETS_SQL = f"""
+WITH a AS (
+  SELECT user_id FROM events WHERE event_type = '{_HU_A}'
+  GROUP BY user_id HAVING COUNT(*) >= {HEAVY_USER_MIN_EVENTS}
+), b AS (
+  SELECT user_id FROM events WHERE event_type = '{_HU_B}'
+  GROUP BY user_id HAVING COUNT(*) >= {HEAVY_USER_MIN_EVENTS}
+)
+SELECT user_id, CAST(1 AS BIGINT) AS in_a, CAST(1 AS BIGINT) AS in_b,
+       'both' AS set_label
+FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+UNION ALL
+SELECT user_id, CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'a_only'
+FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b)
+UNION ALL
+SELECT user_id, CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'b_only'
+FROM (SELECT user_id FROM b EXCEPT SELECT user_id FROM a)
+"""

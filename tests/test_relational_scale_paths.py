@@ -166,10 +166,11 @@ def test_decontaminate_join_fallback_parity(ray_session):
 
 
 @pytest.mark.parametrize("qname", ["q_decontaminate", "q_bigram_lm_score",
-                                   "x_png_features"])
+                                   "x_png_features", "q_heavy_user_sets"])
 def test_round4_sql_oracle_parity(ray_session, qname):
     """Driver-gate replication at sf0.001 for the round-4 adds
-    (benchmark decontamination, bigram-LM quality scoring, PNG ingestion)."""
+    (benchmark decontamination, bigram-LM quality scoring, PNG ingestion,
+    INTERSECT/EXCEPT set labeling)."""
     import sys
     sys.path.insert(0, "/root/repo")
     import duckdb
@@ -177,8 +178,9 @@ def test_round4_sql_oracle_parity(ray_session, qname):
     import __ray_entry__ as m
     from tools.check_correctness import compare, to_pandas
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                f"read_parquet('{SF}/documents.parquet')")
+    for view in ("documents", "events"):
+        con.execute(f"CREATE VIEW {view} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{view}.parquet')")
     ray_df = to_pandas(m.queries()[qname](SF))
     sql_df = con.execute(m.oracle_sql_for(SF)[qname]).fetchdf()
     assert compare(qname, ray_df, sql_df) == []
