@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rank_orders": R.q_rank_orders,
         "x_jpeg_features": C.x_jpeg_features,
         "q_heavy_user_sets": R.q_heavy_user_sets,
+        "q_value_percentiles_cont": R.q_value_percentiles_cont,
     }
 
 
@@ -221,6 +222,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_rank_orders": R.Q_RANK_ORDERS_SQL,
         "x_jpeg_features": C.jpeg_features_sql(sf_dir),
         "q_heavy_user_sets": R.Q_HEAVY_USER_SETS_SQL,
+        "q_value_percentiles_cont": R.Q_PERCENTILES_CONT_SQL,
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

@@ -46,7 +46,7 @@ BENCH_QUERIES_EXT = [
     "q_gopher_repetition", "q_token_entropy", "q_ntile_balance",
     "x_png_features", "q_decontaminate", "q_bigram_lm_score",
     "x_apng_frames", "q_rank_orders", "x_jpeg_features",
-    "q_heavy_user_sets",
+    "q_heavy_user_sets", "q_value_percentiles_cont",
 ]
 
 

@@ -1228,6 +1228,153 @@ FROM events GROUP BY event_type
 """
 
 
+def q_value_percentiles_cont(sf_dir: str,
+                             order_bits: int = ORDER_BUCKET_BITS):
+    """Interpolated (PERCENTILE_CONT-style) per-type quantiles — the
+    continuous companion of q_value_percentiles' exact order statistics.
+
+    Same two-phase distributed selection (bounded-cardinality count
+    groupby → driver rank plan → only the target buckets are touched),
+    fetching BOTH bracketing elements x[k], x[k+1] at pos = q·(n−1), then
+    one interpolation ``x_lo·(1−frac) + x_hi·frac`` round6-truncated.
+    Cross-engine determinism: DuckDB's builtin quantile_cont differs from
+    any hand expression by ulps (measured: 14/300 fuzz mismatches), so
+    the SQL oracle spells the SAME selection + interpolation expression
+    explicitly instead of calling the builtin — both engines evaluate
+    identical IEEE operations on identical operands.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (read_table(sf_dir, "events", ["event_type", "value"])
+              .map_batches(lambda t: _pct_counts_partial(t, order_bits),
+                           batch_format="pyarrow")
+              .groupby(["event_type", "bucket"])
+              .aggregate(Sum("n_sum", alias_name="n"))
+              .to_pandas())
+    cols = ["event_type"] + [s for s, _ in PCT_STATS] + ["n_events"]
+    if counts.empty:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=(object if c == "event_type"
+                       else np.int64 if c == "n_events" else np.float64))
+            for c in cols})
+
+    plan: dict = {}   # (etype, bucket) -> [(stat, role, local_rank)]
+    totals: dict = {}
+    fracs: dict = {}  # (etype, stat) -> frac
+    for etype, g in counts.groupby("event_type"):
+        g = g.sort_values("bucket")
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        buckets = g["bucket"].to_numpy(dtype=np.int64)
+        n = int(cum[-1])
+        totals[etype] = n
+        for stat, q in PCT_STATS:
+            pos = q * float(n - 1)          # same expr as the oracle SQL
+            k = int(np.floor(pos))
+            fracs[(etype, stat)] = pos - float(k)
+            for role, rank1 in (("lo", k + 1), ("hi", min(k + 2, n))):
+                i = int(np.searchsorted(cum, rank1))
+                local = rank1 - (int(cum[i - 1]) if i else 0)
+                plan.setdefault((etype, int(buckets[i])), []).append(
+                    (stat, role, local))
+    plan_ref = ray.put(plan)
+
+    def keep_targets(t: pa.Table) -> pa.Table:
+        p = ray.get(plan_ref)
+        b = f64_order_bucket(t["value"].to_numpy(zero_copy_only=False),
+                             order_bits)
+        mask = np.zeros(t.num_rows, dtype=bool)
+        for (e, bk) in p:
+            mask |= (pc.equal(t["event_type"], pa.scalar(e))
+                     .to_numpy(zero_copy_only=False) & (b == bk))
+        t = t.filter(pa.array(mask))
+        return t.append_column("bucket", pa.array(
+            f64_order_bucket(t["value"].to_numpy(zero_copy_only=False),
+                             order_bits)))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        p = ray.get(plan_ref)
+        key = (g["event_type"].iloc[0], int(g["bucket"].iloc[0]))
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        entries = p[key]
+        return pd.DataFrame({
+            "event_type": [key[0]] * len(entries),
+            "stat": [s for s, _, _ in entries],
+            "role": [r for _, r, _ in entries],
+            "value": [v[rk - 1] for _, _, rk in entries],
+        })
+
+    picked = (read_table(sf_dir, "events", ["event_type", "value"])
+              .map_batches(keep_targets, batch_format="pyarrow")
+              .groupby(["event_type", "bucket"])
+              .map_groups(pick, batch_format="pandas")
+              .to_pandas())
+    rows = {"event_type": []}
+    for s, _ in PCT_STATS:
+        rows[s] = []
+    rows["n_events"] = []
+    by = {(r.event_type, r.stat, r.role): r.value
+          for r in picked.itertuples()}
+    for etype in sorted(totals):
+        rows["event_type"].append(etype)
+        for stat, _q in PCT_STATS:
+            vlo = by[(etype, stat, "lo")]
+            vhi = by[(etype, stat, "hi")]
+            frac = fracs[(etype, stat)]
+            val = vlo * (1.0 - frac) + vhi * frac   # same expr as the SQL
+            rows[stat].append(np.floor(val * 1e6 + 0.5) / 1e6)
+        rows["n_events"].append(np.int64(totals[etype]))
+    out = pd.DataFrame(rows)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out[cols]
+
+
+def _pct_counts_partial(t: pa.Table, order_bits: int) -> pa.Table:
+    b = f64_order_bucket(t["value"].to_numpy(zero_copy_only=False),
+                         order_bits)
+    tmp = pa.table({"event_type": t["event_type"],
+                    "bucket": pa.array(b),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+    return tmp.group_by(["event_type", "bucket"]).aggregate([("n", "sum")])
+
+
+def _pct_cont_sql() -> str:
+    stats = ", ".join(f"('{s}', {q}e0)" for s, q in PCT_STATS)
+    cases = ",\n       ".join(
+        f"FLOOR(MAX(CASE WHEN stat = '{s}' THEN interp END) * 1000000"
+        f" + 0.5) / 1000000 AS {s}" for s, _ in PCT_STATS)
+    return f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), targets(stat, q) AS (VALUES {stats}),
+pos AS (
+  SELECT d.event_type, t.stat, t.q, d.n,
+         t.q * CAST(d.n - 1 AS DOUBLE) AS pos,
+         CAST(FLOOR(t.q * CAST(d.n - 1 AS DOUBLE)) AS BIGINT) AS k
+  FROM (SELECT DISTINCT event_type, n FROM ranked) d, targets t
+),
+sel AS (
+  SELECT p.event_type, p.stat, p.n,
+         lo.value * (1e0 - (p.pos - CAST(p.k AS DOUBLE)))
+           + hi.value * (p.pos - CAST(p.k AS DOUBLE)) AS interp
+  FROM pos p
+  JOIN ranked lo ON lo.event_type = p.event_type AND lo.rn = p.k + 1
+  JOIN ranked hi ON hi.event_type = p.event_type
+       AND hi.rn = LEAST(p.k + 2, p.n)
+)
+SELECT event_type,
+       {cases},
+       CAST(MAX(n) AS BIGINT) AS n_events
+FROM sel GROUP BY event_type
+"""
+
+
+Q_PERCENTILES_CONT_SQL = _pct_cont_sql()
+
+
 # ---------------------------------------------------------------------------
 # as-of join: latest order at-or-before each event (J-family, merge_asof)
 # ---------------------------------------------------------------------------

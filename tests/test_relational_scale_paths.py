@@ -237,3 +237,32 @@ def test_rank_orders_heavy_ties(ray_session, tmp_path):
     assert (ray_df["o_totalprice"].to_numpy()
             == sql_df["o_totalprice"].to_numpy()).all()
     assert (ray_df["price_rank"] != ray_df["price_dense_rank"]).any()
+
+
+def test_percentile_cont_parity_and_semantics(ray_session):
+    """Interpolated quantiles: coarse/default bucket granularities agree
+    exactly; values agree with DuckDB's builtin quantile_cont to within
+    the round6 grid (the oracle intentionally spells the interpolation
+    explicitly rather than calling the builtin — see the docstring)."""
+    import duckdb
+    import numpy as np
+
+    from deepseek_ocr_rs_ray.pipelines.relational import (
+        q_value_percentiles_cont)
+
+    def canon(df):
+        return df.sort_values("event_type").reset_index(drop=True)
+
+    a = canon(q_value_percentiles_cont(SF))
+    b = canon(q_value_percentiles_cont(SF, order_bits=2))
+    pd.testing.assert_frame_equal(a, b)
+
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""SELECT event_type, quantile_cont(value, 0.5) p50,
+            quantile_cont(value, 0.9) p90, quantile_cont(value, 0.99) p99
+            FROM read_parquet('{SF}/events.parquet')
+            GROUP BY event_type ORDER BY event_type""").fetchdf()
+    for col in ("p50", "p90", "p99"):
+        assert np.allclose(a[col].to_numpy(), ref[col].to_numpy(),
+                           rtol=0, atol=2e-6), col
