@@ -290,6 +290,63 @@ FROM documents d, q
 
 
 PAIR_BUCKET_CAP = int(os.environ.get("GRAFT_PAIR_BUCKET_CAP", "2000"))
+BUCKET_KEY_CAP = int(os.environ.get("GRAFT_BUCKET_KEY_CAP", "100000"))
+
+
+def _oversized_buckets(ds, key_col: str, cap: int,
+                       key_cap: int = None) -> dict:
+    """{key: ceil(n/cap)} for every bucket with more than ``cap`` rows.
+
+    The driver never funnels one row per distinct key: per-batch partial
+    counts STREAM via iter_batches under a ``key_cap`` distinct-key budget
+    (the q_decontaminate discipline). If the key space exceeds the budget,
+    cut over to a distributed pass — fold keys into 256 crc shards (the
+    CLAUDE.md bounded-groupby rule), sum per key inside each shard, and
+    ship ONLY the oversized keys back (at most total_rows/cap of them, by
+    pigeonhole). Both paths return the identical map."""
+    import zlib as _zlib
+
+    if key_cap is None:
+        key_cap = BUCKET_KEY_CAP
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        return (t.select([key_col]).group_by(key_col)
+                .aggregate([(key_col, "count")]))
+
+    counts_ds = ds.map_batches(partial_counts, batch_format="pyarrow")
+    acc: dict = {}
+    capped = False
+    for b in counts_ds.iter_batches(batch_format="pyarrow"):
+        for k, n in zip(b[key_col].to_pylist(),
+                        b[f"{key_col}_count"].to_pylist()):
+            acc[k] = acc.get(k, 0) + int(n)
+        if len(acc) > key_cap:
+            capped = True
+            break
+    if not capped:
+        return {k: int(np.ceil(n / cap)) for k, n in acc.items() if n > cap}
+
+    def tag_shard(t: pa.Table) -> pa.Table:
+        shards = np.array([_zlib.crc32(str(k).encode()) & 255
+                           for k in t[key_col].to_pylist()], dtype=np.int64)
+        return t.append_column("_shard", pa.array(shards))
+
+    def big_only(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or key_col not in g.columns:   # schema-probe batch
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        s = g.groupby(key_col, sort=False)[f"{key_col}_count"].sum()
+        s = s[s > cap]
+        return pd.DataFrame({key_col: s.index,
+                             "n": s.to_numpy(dtype=np.int64)})
+
+    big = (counts_ds.map_batches(tag_shard, batch_format="pyarrow")
+           .groupby("_shard").map_groups(big_only, batch_format="pandas")
+           .to_pandas())
+    if big.empty or key_col not in big.columns:  # no oversized buckets
+        return {}
+    return {k: int(np.ceil(n / cap))
+            for k, n in zip(big[key_col], big["n"])}
 
 
 def _capped_bucket_pairs(ds, key_col: str, id_col: str, pair_fn, cross_fn,
@@ -311,13 +368,7 @@ def _capped_bucket_pairs(ds, key_col: str, id_col: str, pair_fn, cross_fn,
     if cap is None:
         cap = PAIR_BUCKET_CAP
 
-    def partial_counts(t: pa.Table) -> pa.Table:
-        return (t.select([key_col]).group_by(key_col)
-                .aggregate([(key_col, "count")]))
-
-    sizes = (ds.map_batches(partial_counts, batch_format="pyarrow")
-             .to_pandas().groupby(key_col)[f"{key_col}_count"].sum())
-    m_of = {k: int(np.ceil(n / cap)) for k, n in sizes.items() if n > cap}
+    m_of = _oversized_buckets(ds, key_col, cap)
     if not m_of:
         return ds.groupby(key_col).map_groups(pair_fn,
                                               batch_format="pandas")
@@ -364,26 +415,85 @@ def _capped_bucket_pairs(ds, key_col: str, id_col: str, pair_fn, cross_fn,
             .map_groups(block_pairs, batch_format="pandas"))
 
 
+def _run_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated ``[s, s+len)`` integer ranges, vectorized (the standard
+    cumsum-of-ones-with-jump-corrections idiom). Assumes every len >= 1."""
+    if len(lens) == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    out = np.ones(int(ends[-1]), dtype=np.int64)
+    out[0] = starts[0]
+    out[ends[:-1]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(out)
+
+
 def _jaccard_pair_frame(ids_a, sets_a, ids_b, sets_b, same: bool,
                         threshold: float) -> pd.DataFrame:
     """Pairs above threshold between two id/set lists (all i<j pairs when
-    ``same``, else every cross pair once, ordered a < b)."""
-    rows = {"a": [], "b": [], "jaccard": []}
-    for i in range(len(ids_a)):
-        start = i + 1 if same else 0
-        for j in range(start, len(ids_b)):
-            inter = len(sets_a[i] & sets_b[j])
-            union = len(sets_a[i]) + len(sets_b[j]) - inter
-            jac = inter / union if union else 0.0
-            if jac >= threshold:
-                x, y = int(ids_a[i]), int(ids_b[j])
-                rows["a"].append(min(x, y))
-                rows["b"].append(max(x, y))
-                rows["jaccard"].append(float(np.floor(jac * 1e6 + 0.5) / 1e6))
-    return pd.DataFrame({"a": pd.Series(rows["a"], dtype="int64"),
-                         "b": pd.Series(rows["b"], dtype="int64"),
-                         "jaccard": pd.Series(rows["jaccard"],
-                                              dtype="float64")})
+    ``same``, else every cross pair once, ordered a < b).
+
+    Vectorized: token→doc incidence lists are aligned per shared token and
+    the full na×nb intersection-count matrix accumulates via one bincount
+    over flattened (i, j) pair indices — total work equals the sum of
+    per-token |A_t|·|B_t| cross products (the same work the old per-pair
+    set-intersection loop did), but in numpy instead of cap² Python
+    iterations. Threshold tests the RAW jaccard (then truncates for
+    output) — identical keep/drop to the old loop."""
+    na, nb = len(ids_a), len(ids_b)
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if na == 0 or nb == 0:
+        return empty
+    sa = np.array([len(s) for s in sets_a], dtype=np.int64)
+    sb = np.array([len(s) for s in sets_b], dtype=np.int64)
+    toks_a = [t for s in sets_a for t in s]
+    toks_b = [t for s in sets_b for t in s]
+    docs_a = np.repeat(np.arange(na, dtype=np.int64), sa)
+    docs_b = np.repeat(np.arange(nb, dtype=np.int64), sb)
+    inter = np.zeros((na, nb), dtype=np.int64)
+    if toks_a and toks_b:
+        _, inv = np.unique(np.array(toks_a + toks_b, dtype=object),
+                           return_inverse=True)
+        ta, tb = inv[:len(toks_a)], inv[len(toks_a):]
+        oa = np.argsort(ta, kind="stable")
+        ob = np.argsort(tb, kind="stable")
+        ta, docs_a = ta[oa], docs_a[oa]
+        tb, docs_b = tb[ob], docs_b[ob]
+        ua, ia, ca = np.unique(ta, return_index=True, return_counts=True)
+        ub, ib, cb = np.unique(tb, return_index=True, return_counts=True)
+        _, pa_i, pb_i = np.intersect1d(ua, ub, assume_unique=True,
+                                       return_indices=True)
+        if len(pa_i):
+            la, off_a = ca[pa_i], ia[pa_i]
+            lb, off_b = cb[pb_i], ib[pb_i]
+            # i side: each a-doc of the token's run, repeated lb times
+            i_idx = np.repeat(docs_a[_run_ranges(off_a, la)],
+                              np.repeat(lb, la))
+            # j side: per token, the b run tiled la times (a-major order)
+            block_lens = la * lb
+            total = int(block_lens.sum())
+            starts = np.concatenate(
+                [[0], np.cumsum(block_lens)[:-1]]).astype(np.int64)
+            pos = (np.arange(total, dtype=np.int64)
+                   - np.repeat(starts, block_lens))
+            j_idx = docs_b[np.repeat(off_b, block_lens)
+                           + pos % np.repeat(lb, block_lens)]
+            inter = np.bincount(i_idx * nb + j_idx,
+                                minlength=na * nb).reshape(na, nb)
+    union = sa[:, None] + sb[None, :] - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    mask = jac >= threshold
+    if same:
+        mask &= np.triu(np.ones_like(mask), k=1)
+    ii, jj = np.nonzero(mask)
+    xa = np.asarray(ids_a, dtype=np.int64)[ii]
+    xb = np.asarray(ids_b, dtype=np.int64)[jj]
+    return pd.DataFrame({
+        "a": pd.Series(np.minimum(xa, xb), dtype="int64"),
+        "b": pd.Series(np.maximum(xa, xb), dtype="int64"),
+        "jaccard": pd.Series(np.floor(jac[ii, jj] * 1e6 + 0.5) / 1e6,
+                             dtype="float64")})
 
 
 def q_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
@@ -1676,21 +1786,20 @@ def q_embed_dup_pairs(sf_dir: str, threshold: float = 0.4,
         # SUM(x*y)/(SQRT(SUM(x*x))*SQRT(SUM(y*y))); do NOT pre-normalize
         # rows (different rounding could flip the 1e-6 truncation)
         S = (ea @ eb.T) / np.outer(norms_a, norms_b)
-        out = {"label": [], "a": [], "b": [], "cos": []}
-        for i in range(len(ids_a)):
-            start = i + 1 if same else 0
-            for j in range(start, len(ids_b)):
-                c = np.floor(S[i, j] * 1e6 + 0.5) / 1e6
-                if c >= threshold:
-                    x, y = int(ids_a[i]), int(ids_b[j])
-                    out["label"].append(label)
-                    out["a"].append(min(x, y))
-                    out["b"].append(max(x, y))
-                    out["cos"].append(float(c))
-        return pd.DataFrame({"label": pd.Series(out["label"], dtype="int32"),
-                             "a": pd.Series(out["a"], dtype="int64"),
-                             "b": pd.Series(out["b"], dtype="int64"),
-                             "cos": pd.Series(out["cos"], dtype="float64")})
+        # truncate BEFORE thresholding — same order as the old per-pair
+        # loop, so borderline cosines keep/drop identically
+        C = np.floor(S * 1e6 + 0.5) / 1e6
+        mask = C >= threshold
+        if same:
+            mask &= np.triu(np.ones_like(mask), k=1)
+        ii, jj = np.nonzero(mask)
+        xa = np.asarray(ids_a, dtype=np.int64)[ii]
+        xb = np.asarray(ids_b, dtype=np.int64)[jj]
+        return pd.DataFrame({
+            "label": pd.Series(np.full(len(ii), label), dtype="int32"),
+            "a": pd.Series(np.minimum(xa, xb), dtype="int64"),
+            "b": pd.Series(np.maximum(xa, xb), dtype="int64"),
+            "cos": pd.Series(C[ii, jj], dtype="float64")})
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids, E, norms, label = prep(g)
@@ -1821,7 +1930,7 @@ def q_ann_ivf(sf_dir: str, k: int = 10):
                         dtype=np.float32).astype(np.float64)
         en = embs / np.sqrt(np.einsum("ij,ij->i", embs, embs))[:, None]
         assign = np.argmax(en @ c.T, axis=1)
-        keep = np.array([int(a) in cells for a in assign])
+        keep = np.isin(assign, np.fromiter(cells, dtype=np.int64))
         t = t.filter(pa.array(keep))
         if t.num_rows == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
@@ -1856,7 +1965,7 @@ def q_ann_lsh(sf_dir: str, k: int = 10):
                         dtype=np.float32).astype(np.float64)
         sigs = (embs @ pl.T) > 0
         vals = sigs @ (1 << np.arange(LSH_PLANES - 1, -1, -1))
-        keep = np.array([int(v) in nr for v in vals])
+        keep = np.isin(vals, np.fromiter(nr, dtype=np.int64))
         t = t.filter(pa.array(keep))
         if t.num_rows == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),

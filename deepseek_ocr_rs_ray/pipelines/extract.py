@@ -312,6 +312,18 @@ def run_extract_job(input_paths: Sequence[str], out_dir: str,
     unaffected by the interleaving (test_wave_overlap in
     tests/test_extract_pipeline.py).
 
+    ``waves_skipped`` counts every already-committed wave of the full
+    input up front (independent of ``max_waves``); before round 4 it only
+    counted skips seen before the ``max_waves`` cutoff, so partial runs
+    over a partially-committed directory now report a larger (complete)
+    skipped count for the same on-disk state.
+
+    Overlap > 1 is tasks-mode only: two concurrent actor pools starve
+    each other for CPU slots (each pool sizes itself assuming it owns the
+    session), so under ``GRAFT_EXTRACT_MODE=fused/split`` overlap is
+    degraded to 1 with a warning — mirroring build_extract_dataset's
+    tiny-session degradation rather than deadlocking.
+
     Returns a summary dict {waves_run, waves_skipped, rows, ocr_rows}.
     """
     files = sorted(input_paths)
@@ -321,6 +333,14 @@ def run_extract_job(input_paths: Sequence[str], out_dir: str,
     size_cuts = compute_size_cuts(files, cfg)
     if overlap is None:
         overlap = int(os.environ.get("GRAFT_WAVE_OVERLAP", "1"))
+    mode = os.environ.get("GRAFT_EXTRACT_MODE", "tasks")
+    if overlap > 1 and mode in ("fused", "split"):
+        import warnings
+        warnings.warn(
+            f"GRAFT_WAVE_OVERLAP={overlap} with GRAFT_EXTRACT_MODE={mode}: "
+            "overlapped waves are tasks-mode only (concurrent actor pools "
+            "starve each other); degrading to overlap=1", stacklevel=2)
+        overlap = 1
 
     waves = [(w, files[s:s + wave_size])
              for w, s in enumerate(range(0, len(files), wave_size))]

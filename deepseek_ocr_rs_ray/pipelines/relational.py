@@ -1920,28 +1920,37 @@ def q_heavy_user_sets(sf_dir: str):
     q_union_distinct sharded-distinct shape) and compute membership from
     exact int64 totals. No per-set passes, no high-cardinality groupby.
     """
-    from collections import defaultdict
-
     ds = read_table(sf_dir, "events", ["user_id", "event_type"])
     N_SHARDS = 64
 
     def partial(t: pa.Table) -> pa.Table:
-        users = t["user_id"].to_numpy(zero_copy_only=False)
-        et = t["event_type"].to_numpy(zero_copy_only=False)
-        agg: dict = defaultdict(lambda: [0, 0])
-        for u, e in zip(users, et):
-            if e == _HU_A:
-                agg[int(u)][0] += 1
-            elif e == _HU_B:
-                agg[int(u)][1] += 1
-        ids = np.array(sorted(agg), dtype=np.int64)
+        # vectorized count pre-agg: mask to the two event types, then one
+        # np.unique with return_counts over (user_id, is_error) pairs
+        mask = pc.is_in(t["event_type"], value_set=pa.array([_HU_A, _HU_B]))
+        sub = t.filter(mask)
+        users = sub["user_id"].to_numpy(zero_copy_only=False)
+        is_b = pc.equal(sub["event_type"], _HU_B).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(users) == 0:
+            empty = np.array([], dtype=np.int64)
+            return pa.table({"user_id": pa.array(empty),
+                             "shard": pa.array(empty),
+                             "p_n": pa.array(empty),
+                             "e_n": pa.array(empty)})
+        pairs, counts = np.unique(
+            np.stack([users.astype(np.int64), is_b], axis=1),
+            axis=0, return_counts=True)
+        uids = np.unique(pairs[:, 0])
+        p_n = np.zeros(len(uids), dtype=np.int64)
+        e_n = np.zeros(len(uids), dtype=np.int64)
+        idx = np.searchsorted(uids, pairs[:, 0])
+        np.add.at(p_n, idx[pairs[:, 1] == 0], counts[pairs[:, 1] == 0])
+        np.add.at(e_n, idx[pairs[:, 1] == 1], counts[pairs[:, 1] == 1])
         return pa.table({
-            "user_id": pa.array(ids),
-            "shard": pa.array(ids & (N_SHARDS - 1)),
-            "p_n": pa.array(np.array([agg[int(u)][0] for u in ids],
-                                     dtype=np.int64)),
-            "e_n": pa.array(np.array([agg[int(u)][1] for u in ids],
-                                     dtype=np.int64)),
+            "user_id": pa.array(uids),
+            "shard": pa.array(uids & (N_SHARDS - 1)),
+            "p_n": pa.array(p_n),
+            "e_n": pa.array(e_n),
         })
 
     def label(g: pd.DataFrame) -> pd.DataFrame:

@@ -266,3 +266,31 @@ def test_percentile_cont_parity_and_semantics(ray_session):
     for col in ("p50", "p90", "p99"):
         assert np.allclose(a[col].to_numpy(), ref[col].to_numpy(),
                            rtol=0, atol=2e-6), col
+
+
+def test_oversized_buckets_capped_cutover_parity(ray_session):
+    """key_cap=0 forces _oversized_buckets through the crc-folded
+    distributed count path — the {key: m} map and the downstream pair set
+    must both match the streamed-count path exactly."""
+    import ray.data
+
+    from deepseek_ocr_rs_ray.pipelines import corpus as C
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    plain = C._oversized_buckets(docs, "source", cap=10)
+    folded = C._oversized_buckets(docs, "source", cap=10, key_cap=0)
+    assert plain == folded and len(plain) > 0
+
+    def canon(ds):
+        return (ds.to_pandas()[["a", "b", "jaccard"]]
+                .sort_values(["a", "b"]).reset_index(drop=True))
+
+    a = canon(C.q_jaccard_pairs(SF, bucket_cap=10))
+    C.BUCKET_KEY_CAP, saved = 0, C.BUCKET_KEY_CAP
+    try:
+        b = canon(C.q_jaccard_pairs(SF, bucket_cap=10))
+    finally:
+        C.BUCKET_KEY_CAP = saved
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
