@@ -1,26 +1,36 @@
-"""Baseline JPEG (JFIF) codec in pure numpy — the lossy real-format path.
+"""JPEG (JFIF) codec in pure numpy — the lossy real-format path.
 
 The reference ingests real image files via ``image::open``
 (crates/cli/src/app.rs:136-149), JPEG included. No libjpeg/Pillow exists in
-this container, so baseline sequential JPEG is implemented from the public
-spec (ITU-T T.81):
+this container, so JPEG is implemented from the public spec (ITU-T T.81):
 
-- **Encoder**: RGB → JFIF YCbCr, 4:4:4 (no subsampling), level shift,
-  8×8 orthonormal DCT, quality-scaled Annex-K quantization tables,
-  zigzag, DC-difference + AC run-length magnitude coding, per-image
-  OPTIMIZED canonical Huffman tables (length-capped at 16 the way the
-  spec's Annex K.2 adjustment does) emitted in DHT — so the decoder never
-  depends on memorized fixed tables.
-- **Decoder**: general baseline parser — reads DQT/DHT/SOF0/SOS from the
-  stream (works against any baseline encoder's tables), Huffman-decodes
-  the entropy stream with byte-unstuffing, dequantizes, inverse DCT,
-  YCbCr → RGB. Supported: 8-bit, 1 or 3 components, 4:4:4 sampling.
-  Progressive (SOF2), subsampled, arithmetic, 12-bit and
-  restart-interval (DRI/RSTn) streams raise ValueError (fail-fast, like
-  the other codec guards).
+- **Encoder**: RGB → JFIF YCbCr, level shift, 8×8 orthonormal DCT,
+  quality-scaled Annex-K quantization tables, zigzag, DC-difference +
+  AC run-length magnitude coding, per-image OPTIMIZED canonical Huffman
+  tables (length-capped at 16 the way the spec's Annex K.2 adjustment
+  does) — so the decoder never depends on memorized fixed tables.
+  Sampling ``4:4:4`` / ``4:2:2`` / ``4:2:0`` (box-mean chroma
+  downsample, interleaved MCUs), optional ``restart_interval`` (DRI +
+  RSTn, byte-aligned, DC predictors reset — sequential mode), and
+  ``progressive=True`` (SOF2, the standard IJG "simple progression"
+  10-scan script: spectral selection + successive approximation, EOB-run
+  coding, per-scan optimized tables).
+- **Decoder**: general parser — reads DQT/DHT/DRI/SOF/SOS from the
+  stream (works against any encoder's tables), skips spec-legal 0xFF
+  fill bytes before markers (T.81 B.1.1.2), Huffman-decodes the entropy
+  stream with byte-unstuffing and restart-interval segmentation.
+  Supported: 8-bit baseline (SOF0/1) and progressive (SOF2), 1 or 3
+  components, any sampling whose factors divide the maxima (covers
+  4:4:4 / 4:2:2 / 4:2:0 / 4:1:1), DRI/RSTn. Arithmetic coding, 12-bit,
+  hierarchical and lossless SOFs raise ValueError (fail-fast, like the
+  other codec guards). Chroma upsampling is sample replication (box),
+  consistently on both engines.
 
 Lossy by nature: round trips assert closeness (PSNR) + bit-determinism,
-not pixel identity; the oracle discipline for JPEG-fed queries pins the
+not pixel identity — EXCEPT that progressive and restart-interval
+re-encodings of the same quantized coefficients decode to pixels
+byte-identical to the sequential path (pure entropy-layer repackaging),
+which the tests pin. The oracle discipline for JPEG-fed queries pins the
 distributed stage against the same single-process kernel (the
 thumbs_expected pattern), not against pre-compression pixels.
 """
@@ -35,6 +45,13 @@ import numpy as np
 
 SOI, EOI, SOS, DQT, DHT, APP0 = 0xFFD8, 0xFFD9, 0xFFDA, 0xFFDB, 0xFFC4, 0xFFE0
 SOF0, SOF1, SOF2 = 0xFFC0, 0xFFC1, 0xFFC2
+DRI, RST0, TEM, DNL = 0xFFDD, 0xFFD0, 0xFF01, 0xFFDC
+# frame types we must reject explicitly (arithmetic / 12-bit family /
+# lossless / hierarchical) — skipping them by length would just fail later
+# with a confusing error
+_BAD_SOF = {0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA, 0xFFCB,
+            0xFFCD, 0xFFCE, 0xFFCF}
+DAC = 0xFFCC
 
 # Annex K.1 example quantization tables (the de-facto standard baseline)
 QUANT_LUMA = np.array([
@@ -67,6 +84,25 @@ _UNZZ = np.argsort(_ZZ)
 _N = np.arange(8)
 _DCT = np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16) * 0.5
 _DCT[0, :] *= 1 / np.sqrt(2)          # orthonormal: D @ B @ D.T
+
+_SAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+# IJG's standard "simple progression" scan script for YCbCr
+# (comp indices, Ss, Se, Ah, Al)
+_PROG_SCRIPT_3 = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+_MAX_EOBRUN = 0x7FFF
 
 
 def _as_value_errors(fn):
@@ -130,6 +166,12 @@ class _BitWriter:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)
+
+    def marker(self, code: int) -> None:
+        """Byte-align and emit a standalone marker (RSTn) into the entropy
+        stream — markers are NOT byte-stuffed."""
+        self.flush()
+        self.out += struct.pack(">H", code)
 
 
 def _huff_lengths(freq: Dict[int, int], cap: int = 16) -> Dict[int, int]:
@@ -249,88 +291,369 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
-    """(H, W, 3) uint8 RGB → baseline JFIF bytes (4:4:4, optimized
-    per-image Huffman tables)."""
+def _pad_replicate(plane: np.ndarray, h_to: int, w_to: int) -> np.ndarray:
+    """Edge-replicate pad a 2-D plane up to (h_to, w_to)."""
+    h, w = plane.shape
+    out = np.empty((h_to, w_to), dtype=plane.dtype)
+    out[:h, :w] = plane
+    if h_to > h:
+        out[h:, :w] = plane[h - 1:h, :]
+    if w_to > w:
+        out[:, w:] = out[:, w - 1:w]
+    return out
+
+
+def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Padded plane → (n_blocks, 64) zigzagged quantized coefficients in
+    raster block order."""
+    blocks = _blocks_of(plane) - 128.0
+    f = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    q = np.round(f / qt.astype(np.float64)).astype(np.int64)
+    return q.reshape(-1, 64)[:, _ZZ]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _mcu_block_list(comps_hv: List[Tuple[int, int]], mcux: int, mcuy: int):
+    """Interleaved MCU traversal: yields (mcu_index, comp_index, block_row,
+    block_col) — block coordinates in each component's MCU-padded grid."""
+    for my in range(mcuy):
+        for mx in range(mcux):
+            m = my * mcux + mx
+            for ci, (hc, vc) in enumerate(comps_hv):
+                for by in range(vc):
+                    for bx in range(hc):
+                        yield m, ci, my * vc + by, mx * hc + bx
+
+
+def _component_coefs(img: np.ndarray, quality: int,
+                     hs: int, vs: int):
+    """RGB image → per-component zigzag coefficient grids + geometry.
+
+    Returns (qts, coefs, grids, h, w, mcux, mcuy) where coefs[c] is
+    (bh_c*bw_c, 64) in raster block order and grids[c] = (bh_c, bw_c)."""
+    h, w, _ = img.shape
+    qts = [_scaled_quant(QUANT_LUMA, quality),
+           _scaled_quant(QUANT_CHROMA, quality)]
+    ycc = _to_ycbcr(img)
+    mcux = -(-w // (8 * hs))
+    mcuy = -(-h // (8 * vs))
+    # pad the full-res planes to whole MCUs once (edge replicate), then the
+    # box-mean chroma downsample lands exactly on (mcuy*8, mcux*8)
+    H, W = mcuy * 8 * vs, mcux * 8 * hs
+    planes = [_pad_replicate(ycc[:, :, c], H, W) for c in range(3)]
+    if (hs, vs) != (1, 1):
+        for c in (1, 2):
+            p = planes[c]
+            planes[c] = p.reshape(H // vs, vs, W // hs, hs).mean(axis=(1, 3))
+    coefs, grids = [], []
+    for c in range(3):
+        qt = qts[0 if c == 0 else 1]
+        coefs.append(_quantize_plane(planes[c], qt))
+        ph, pw = planes[c].shape
+        grids.append((ph // 8, pw // 8))
+    return qts, coefs, grids, h, w, mcux, mcuy
+
+
+class _SymbolCounter:
+    """Stats-pass emitter: counts Huffman symbols per (class, table id)."""
+
+    def __init__(self) -> None:
+        self.freq: Dict[Tuple[int, int], Dict[int, int]] = {}
+
+    def sym(self, cls: int, tid: int, s: int) -> None:
+        f = self.freq.setdefault((cls, tid), {})
+        f[s] = f.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def marker(self, code: int) -> None:
+        pass
+
+
+class _SymbolWriter:
+    """Emit-pass: Huffman codes + raw bits through a _BitWriter."""
+
+    def __init__(self, codes: Dict[Tuple[int, int], Dict]) -> None:
+        self.bw = _BitWriter()
+        self.codes = codes
+
+    def sym(self, cls: int, tid: int, s: int) -> None:
+        code, ln = self.codes[(cls, tid)][s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        self.bw.write(v, n)
+
+    def marker(self, code: int) -> None:
+        self.bw.marker(code)
+
+
+def _emit_sequential_scan(em, coefs, grids, comps_hv, tids, mcux, mcuy,
+                          restart_interval: Optional[int]) -> None:
+    """One pass of the interleaved baseline scan through emitter ``em``
+    (used twice: stats then bits). DC predictors reset at every restart."""
+    preds = [0] * len(comps_hv)
+    rst = 0
+    last_mcu = -1
+    for m, ci, by, bx in _mcu_block_list(comps_hv, mcux, mcuy):
+        if m != last_mcu:                  # first block of a new MCU
+            if restart_interval and m > 0 and m % restart_interval == 0:
+                em.marker(RST0 + rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps_hv)
+            last_mcu = m
+        t = tids[ci]
+        bw_c = grids[ci][1]
+        row = coefs[ci][by * bw_c + bx]
+        dcsym, acsyms, preds[ci] = _block_symbols(row, preds[ci])
+        em.sym(0, t, dcsym[0])
+        em.bits(dcsym[2], dcsym[1])
+        for s, n, bits in acsyms:
+            em.sym(1, t, s)
+            em.bits(bits, n)
+
+
+class _ProgScanState:
+    """EOB-run + buffered-correction-bit state for one progressive scan
+    (jcphuff.c shape: EOBRUN/BE carried across blocks, flushed together)."""
+
+    def __init__(self, em, tid: int) -> None:
+        self.em = em
+        self.tid = tid
+        self.eobrun = 0
+        self.corr: List[int] = []          # correction bits pending with EOB
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.em.sym(1, self.tid, nbits << 4)
+            if nbits:
+                self.em.bits(self.eobrun, nbits)
+            self.eobrun = 0
+        for b in self.corr:
+            self.em.bits(b, 1)
+        self.corr = []
+
+
+def _emit_dc_first(em, block, pred: int, tid: int, al: int) -> int:
+    diff = (int(block[0]) >> al) - pred
+    s, bits = _magnitude(diff)
+    em.sym(0, tid, s)
+    em.bits(bits, s)
+    return pred + diff
+
+
+def _emit_dc_refine(em, block, al: int) -> None:
+    em.bits((int(block[0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(st: _ProgScanState, block, ss: int, se: int,
+                   al: int) -> None:
+    em, tid = st.em, st.tid
+    r = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        if v < 0:
+            t = (-v) >> al
+            t2 = ~t                        # complement form for value bits
+        else:
+            t = v >> al
+            t2 = t
+        if t == 0:
+            r += 1
+            continue
+        st.flush_eobrun()
+        while r > 15:
+            em.sym(1, tid, 0xF0)
+            r -= 16
+        nbits = t.bit_length()
+        em.sym(1, tid, (r << 4) | nbits)
+        em.bits(t2, nbits)
+        r = 0
+        emitted = True
+    if r > 0 or not emitted:
+        st.eobrun += 1
+        if st.eobrun == _MAX_EOBRUN:
+            st.flush_eobrun()
+
+
+def _emit_ac_refine(st: _ProgScanState, block, ss: int, se: int,
+                    al: int) -> None:
+    """jcphuff.c encode_mcu_AC_refine, ported from the published algorithm:
+    newly-significant coefficients get (run, 1) symbols + a sign bit;
+    already-significant ones contribute buffered correction bits that
+    travel with the next emitted symbol or EOB run."""
+    em, tid = st.em, st.tid
+    absval = [0] * (se + 1)
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(block[k])) >> al
+        absval[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    my_corr: List[int] = []
+    for k in range(ss, se + 1):
+        t = absval[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush_eobrun()
+            em.sym(1, tid, 0xF0)
+            r -= 16
+            for b in my_corr:
+                em.bits(b, 1)
+            my_corr = []
+        if t > 1:                          # history bit: correction only
+            my_corr.append(t & 1)
+            continue
+        st.flush_eobrun()
+        em.sym(1, tid, (r << 4) | 1)
+        em.bits(1 if int(block[k]) >= 0 else 0, 1)
+        for b in my_corr:
+            em.bits(b, 1)
+        my_corr = []
+        r = 0
+    if r > 0 or my_corr:
+        st.eobrun += 1
+        st.corr.extend(my_corr)
+        if st.eobrun == _MAX_EOBRUN or len(st.corr) > 937:
+            st.flush_eobrun()
+
+
+def _emit_progressive_scan(em, scan_comps, ss, se, ah, al, coefs, grids,
+                           comps_hv, dc_tids, mcux, mcuy) -> None:
+    """One pass of a progressive scan (stats or bits)."""
+    if ss == 0:
+        preds = [0] * len(comps_hv)
+        sub_hv = [comps_hv[c] for c in scan_comps]
+        if len(scan_comps) > 1:
+            it = ((scan_comps[ci], by, bx)
+                  for _m, ci, by, bx in _mcu_block_list(sub_hv, mcux, mcuy))
+        else:
+            c = scan_comps[0]
+            bh, bw_c = grids[c]
+            it = ((c, by, bx) for by in range(bh) for bx in range(bw_c))
+        for c, by, bx in it:
+            row = coefs[c][by * grids[c][1] + bx]
+            if ah == 0:
+                preds[c] = _emit_dc_first(em, row, preds[c], dc_tids[c], al)
+            else:
+                _emit_dc_refine(em, row, al)
+        return
+    if len(scan_comps) != 1:
+        raise ValueError("JPEG: AC scans must be single-component")
+    c = scan_comps[0]
+    bh, bw_c = grids[c]
+    st = _ProgScanState(em, 0)
+    for by in range(bh):
+        for bx in range(bw_c):
+            row = coefs[c][by * bw_c + bx]
+            if ah == 0:
+                _emit_ac_first(st, row, ss, se, al)
+            else:
+                _emit_ac_refine(st, row, ss, se, al)
+    st.flush_eobrun()
+
+
+def _tables_from_counts(counter: _SymbolCounter):
+    """freq per (class, tid) → DHT payload bytes + code maps."""
+    codes: Dict[Tuple[int, int], Dict] = {}
+    dht = bytearray()
+    # table-id-major order (DC0, AC0, DC1, AC1 …) — the layout the
+    # pre-generalization encoder emitted, keeping 4:4:4 output bit-stable
+    for (cls, tid) in sorted(counter.freq, key=lambda k: (k[1], k[0])):
+        bits, syms, cmap = _canonical_codes(_huff_lengths(counter.freq[(cls,
+                                                                        tid)]))
+        codes[(cls, tid)] = cmap
+        dht += _seg(DHT, bytes([(cls << 4) | tid]) + bytes(bits)
+                    + bytes(syms))
+    return bytes(dht), codes
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsampling: str = "4:4:4", progressive: bool = False,
+                restart_interval: Optional[int] = None) -> bytes:
+    """(H, W, 3) uint8 RGB → JFIF bytes.
+
+    ``subsampling``: ``4:4:4`` (default, bit-stable with earlier versions),
+    ``4:2:2`` or ``4:2:0`` (box-mean chroma downsample, interleaved MCUs).
+    ``restart_interval``: emit DRI + RSTn every N MCUs (sequential only).
+    ``progressive``: SOF2 with the IJG simple-progression scan script."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("encode_jpeg expects (H, W, 3) uint8")
     h, w, _ = img.shape
     if h == 0 or w == 0:
         raise ValueError("encode_jpeg: zero-dimension image")
-    qts = [_scaled_quant(QUANT_LUMA, quality),
-           _scaled_quant(QUANT_CHROMA, quality)]
-    ycc = _to_ycbcr(img)
-    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = np.empty((h8, w8, 3), dtype=np.float64)
-    padded[:h, :w] = ycc
-    padded[h:, :w] = ycc[h - 1:h, :]       # edge-replicate pad
-    padded[:, w:] = padded[:, w - 1:w]
-
-    # quantized zigzag coefficients per component
-    comp_coefs: List[np.ndarray] = []
-    for c in range(3):
-        qt = qts[0 if c == 0 else 1].astype(np.float64)
-        blocks = _blocks_of(padded[:, :, c]) - 128.0
-        f = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
-        q = np.round(f / qt).astype(np.int64)
-        comp_coefs.append(q.reshape(-1, 64)[:, _ZZ])
-
-    # pass 1: symbol statistics (interleaved MCU order = block order here)
-    n_blocks = comp_coefs[0].shape[0]
-    dc_freq = [dict(), dict()]
-    ac_freq = [dict(), dict()]
-    prev = [0, 0, 0]
-    per_block: List[List[Tuple]] = []
-    for b in range(n_blocks):
-        row = []
-        for c in range(3):
-            t = 0 if c == 0 else 1
-            dcsym, acsyms, prev[c] = _block_symbols(comp_coefs[c][b], prev[c])
-            dc_freq[t][dcsym[0]] = dc_freq[t].get(dcsym[0], 0) + 1
-            for sym, _, _ in acsyms:
-                ac_freq[t][sym] = ac_freq[t].get(sym, 0) + 1
-            row.append((dcsym, acsyms))
-        per_block.append(row)
-
-    tables = []
-    for t in range(2):
-        tables.append((_canonical_codes(_huff_lengths(dc_freq[t])),
-                       _canonical_codes(_huff_lengths(ac_freq[t]))))
-
-    # pass 2: entropy-coded data
-    bw = _BitWriter()
-    for row in per_block:
-        for c in range(3):
-            t = 0 if c == 0 else 1
-            (_, _, dc_codes), (_, _, ac_codes) = tables[t]
-            (dsym, dn, dbits), acsyms = row[c]
-            code, ln = dc_codes[dsym]
-            bw.write(code, ln)
-            bw.write(dbits, dn)
-            for sym, n, bits in acsyms:
-                code, ln = ac_codes[sym]
-                bw.write(code, ln)
-                bw.write(bits, n)
-    bw.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
+    if subsampling not in _SAMPLING:
+        raise ValueError(f"encode_jpeg: unknown subsampling {subsampling!r}")
+    if progressive and restart_interval:
+        raise ValueError("encode_jpeg: restart_interval is sequential-only")
+    hs, vs = _SAMPLING[subsampling]
+    qts, coefs, grids, h, w, mcux, mcuy = _component_coefs(img, quality,
+                                                           hs, vs)
+    comps_hv = [(hs, vs), (1, 1), (1, 1)]
+    tids = [0, 1, 1]
 
     out = bytearray(struct.pack(">H", SOI))
-    out += seg(APP0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(APP0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for i, qt in enumerate(qts):
-        out += seg(DQT, bytes([i]) + bytes(qt.reshape(-1)[_ZZ].astype(np.uint8)))
-    out += seg(SOF0, struct.pack(">BHHB", 8, h, w, 3)
-               + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    for t in range(2):
-        (dc_bits, dc_syms, _), (ac_bits, ac_syms, _) = tables[t]
-        out += seg(DHT, bytes([t]) + bytes(dc_bits) + bytes(dc_syms))
-        out += seg(DHT, bytes([0x10 | t]) + bytes(ac_bits) + bytes(ac_syms))
-    out += seg(SOS, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    out += bw.out
+        out += _seg(DQT, bytes([i])
+                    + bytes(qt.reshape(-1)[_ZZ].astype(np.uint8)))
+    sof_marker = SOF2 if progressive else SOF0
+    sof_comps = b"".join(bytes([cid + 1, (hc << 4) | vc, tids[cid]])
+                         for cid, (hc, vc) in enumerate(comps_hv))
+    out += _seg(sof_marker, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+
+    if not progressive:
+        counter = _SymbolCounter()
+        _emit_sequential_scan(counter, coefs, grids, comps_hv, tids,
+                              mcux, mcuy, restart_interval)
+        dht, codes = _tables_from_counts(counter)
+        out += dht
+        if restart_interval:
+            out += _seg(DRI, struct.pack(">H", restart_interval))
+        out += _seg(SOS, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        writer = _SymbolWriter(codes)
+        _emit_sequential_scan(writer, coefs, grids, comps_hv, tids,
+                              mcux, mcuy, restart_interval)
+        writer.bw.flush()
+        out += writer.bw.out
+        out += struct.pack(">H", EOI)
+        return bytes(out)
+
+    for scan_comps, ss, se, ah, al in _PROG_SCRIPT_3:
+        counter = _SymbolCounter()
+        _emit_progressive_scan(counter, scan_comps, ss, se, ah, al, coefs,
+                               grids, comps_hv, tids, mcux, mcuy)
+        dht, codes = _tables_from_counts(counter)
+        out += dht
+        body = bytearray([len(scan_comps)])
+        for c in scan_comps:
+            # DC table id per comp convention (Y→0, C→1); AC scans use id 0
+            dc_t = tids[c] if ss == 0 else 0
+            ac_t = 0
+            body += bytes([c + 1, (dc_t << 4) | ac_t])
+        body += bytes([ss, se, (ah << 4) | al])
+        out += _seg(SOS, bytes(body))
+        writer = _SymbolWriter(codes)
+        _emit_progressive_scan(writer, scan_comps, ss, se, ah, al, coefs,
+                               grids, comps_hv, tids, mcux, mcuy)
+        writer.bw.flush()
+        out += writer.bw.out
     out += struct.pack(">H", EOI)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
 
 
 class _BitReader:
@@ -338,15 +661,7 @@ class _BitReader:
     window is sliced per read (amortized O(1) Python ops per symbol, not
     per bit)."""
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        # unstuff once, vectorized: drop every 0x00 that follows a 0xFF
-        arr = np.frombuffer(data, dtype=np.uint8)[pos:]
-        prev_ff = np.concatenate([[False], arr[:-1] == 0xFF])
-        stuffed = prev_ff & (arr == 0x00)
-        # a 0xFF followed by a non-zero byte is a marker: entropy data ends
-        marker = np.nonzero(prev_ff & (arr != 0x00))[0]
-        end = int(marker[0]) - 1 if len(marker) else len(arr)
-        arr = arr[:end][~stuffed[:end]]
+    def __init__(self, arr: np.ndarray) -> None:
         self.nbits = len(arr) * 8
         self.buf = arr.tobytes() + b"\x00\x00\x00\x00"   # 32-bit window pad
         self.pos = 0
@@ -367,6 +682,67 @@ class _BitReader:
         v = (self._window() >> (32 - (self.pos & 7) - n)) & ((1 << n) - 1)
         self.pos += n
         return v
+
+    def bit(self) -> int:
+        return self.bits_n(1)
+
+
+class _EntropyReader:
+    """Splits the entropy-coded data following an SOS into RSTn-delimited
+    segments (each unstuffed once, vectorized) and exposes them as
+    _BitReaders. ``end`` is where marker parsing resumes (the 0xFF of the
+    terminating marker, fill bytes included)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        n = len(data)
+        # candidates: 0xFF NOT followed by 0x00 (markers or fill bytes)
+        cand = np.nonzero((arr[pos:n - 1] == 0xFF)
+                          & (arr[pos + 1:] != 0x00))[0] + pos
+        self.segments: List[np.ndarray] = []
+        self.end = n
+        seg_start = pos
+        ci = 0
+        terminated = False
+        while ci < len(cand):
+            i = int(cand[ci])
+            j = i + 1
+            while j < n and data[j] == 0xFF:    # T.81 B.1.1.2 fill bytes
+                j += 1
+            if j >= n:                          # trailing fill, no marker
+                self._push(arr, seg_start, i)
+                self.end = n
+                terminated = True
+                break
+            m = data[j]
+            if 0xD0 <= m <= 0xD7:               # RSTn: segment boundary
+                self._push(arr, seg_start, i)
+                seg_start = j + 1
+                while ci < len(cand) and cand[ci] < j + 1:
+                    ci += 1
+                continue
+            self._push(arr, seg_start, i)       # real marker: scan ends
+            self.end = i
+            terminated = True
+            break
+        if not terminated:
+            self._push(arr, seg_start, n)
+            self.end = n
+        self._next = 0
+
+    def _push(self, arr: np.ndarray, start: int, stop: int) -> None:
+        seg = arr[start:stop]
+        if len(seg):
+            prev_ff = np.concatenate([[False], seg[:-1] == 0xFF])
+            seg = seg[~(prev_ff & (seg == 0x00))]
+        self.segments.append(seg)
+
+    def next_segment(self) -> _BitReader:
+        if self._next >= len(self.segments):
+            raise ValueError("JPEG: missing restart segment")
+        br = _BitReader(self.segments[self._next])
+        self._next += 1
+        return br
 
 
 def _decode_table(bits: List[int], symbols: List[int]) -> np.ndarray:
@@ -403,46 +779,228 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+def _marker_at(data: bytes, pos: int) -> Tuple[int, int]:
+    """(marker, position of the marker code byte) at ``pos``, skipping
+    spec-legal 0xFF fill bytes (T.81 B.1.1.2)."""
+    n = len(data)
+    if pos >= n or data[pos] != 0xFF:
+        raise ValueError("JPEG: marker desync")
+    j = pos + 1
+    while j < n and data[j] == 0xFF:
+        j += 1
+    if j >= n:
+        raise ValueError("JPEG: truncated marker")
+    return 0xFF00 | data[j], j
+
+
 @_as_value_errors
 def jpeg_meta(data: bytes) -> Dict[str, int]:
     """Header-only probe: SOF dimensions + component count."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError("JPEG: marker desync")
-        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+    while pos + 2 <= len(data):
+        marker, mpos = _marker_at(data, pos)
         if marker in (SOF0, SOF1, SOF2):
-            _prec, h, w, nc = struct.unpack(">BHHB", data[pos + 4:pos + 10])
+            _prec, h, w, nc = struct.unpack(">BHHB",
+                                            data[mpos + 3:mpos + 9])
             return {"width": int(w), "height": int(h), "components": int(nc),
                     "progressive": int(marker == SOF2), "nbytes": len(data)}
+        if marker in _BAD_SOF or marker == DAC:
+            raise ValueError(f"JPEG: unsupported frame type {marker:#x}")
         if marker == EOI:
             break
-        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
-        pos += 2 + ln
+        if marker == TEM or RST0 <= marker <= RST0 + 7:    # standalone
+            pos = mpos + 1
+            continue
+        ln = struct.unpack(">H", data[mpos + 1:mpos + 3])[0]
+        pos = mpos + 1 + ln
     raise ValueError("JPEG: no SOF marker found")
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "tq", "bw", "bh", "nbw", "nbh",
+                 "cw", "ch")
+
+    def __init__(self, cid, h, v, tq):
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+
+
+def _decode_scan_blocks(br_state, scan, comps, coef, grids, progressive,
+                        ss, se, ah, al, ri, huff, mcux, mcuy):
+    """Decode one scan's entropy data into ``coef``. ``br_state`` is the
+    _EntropyReader for this scan."""
+    br = br_state.next_segment()
+    preds = {ci: 0 for ci, _, _ in scan}
+    eobrun = 0
+    interleaved = len(scan) > 1
+    if interleaved:
+        n_mcus = mcux * mcuy
+        sub_hv = [(comps[ci].h, comps[ci].v) for ci, _, _ in scan]
+    else:
+        ci0 = scan[0][0]
+        n_mcus = comps[ci0].nbw * comps[ci0].nbh
+
+    def tables(ci, dc_t, ac_t):
+        dct = huff.get((0, dc_t))
+        act = huff.get((1, ac_t))
+        return dct, act
+
+    def blocks_of_mcu(m):
+        if interleaved:
+            my, mx = divmod(m, mcux)
+            for si, (ci, dc_t, ac_t) in enumerate(scan):
+                hc, vc = sub_hv[si]
+                bw_c = grids[ci][1]
+                for by in range(vc):
+                    for bx in range(hc):
+                        yield ci, dc_t, ac_t, \
+                            (my * vc + by) * bw_c + (mx * hc + bx)
+        else:
+            ci, dc_t, ac_t = scan[0]
+            nbw = comps[ci].nbw
+            by, bx = divmod(m, nbw)
+            yield ci, dc_t, ac_t, by * grids[ci][1] + bx
+
+    for m in range(n_mcus):
+        if ri and m > 0 and m % ri == 0:
+            br = br_state.next_segment()
+            preds = {ci: 0 for ci, _, _ in scan}
+            eobrun = 0
+        for ci, dc_t, ac_t, idx in blocks_of_mcu(m):
+            blk = coef[ci][idx]
+            if not progressive:
+                dct, act = tables(ci, dc_t, ac_t)
+                if dct is None or act is None:
+                    raise ValueError("JPEG: scan references missing DHT")
+                s = _read_symbol(br, dct)
+                preds[ci] += _extend(br.bits_n(s), s)
+                blk[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(br, act)
+                    if sym == 0x00:            # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if sym == 0xF0:            # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG: coefficient index overflow")
+                    blk[k] = _extend(br.bits_n(size), size)
+                    k += 1
+            elif ss == 0 and ah == 0:          # DC first
+                dct, _ = tables(ci, dc_t, 0)
+                if dct is None:
+                    raise ValueError("JPEG: scan references missing DHT")
+                s = _read_symbol(br, dct)
+                preds[ci] += _extend(br.bits_n(s), s)
+                blk[0] = preds[ci] << al
+            elif ss == 0:                      # DC refine
+                if br.bit():
+                    blk[0] |= (1 << al)
+            elif ah == 0:                      # AC first
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                _, act = tables(ci, 0, ac_t)
+                if act is None:
+                    raise ValueError("JPEG: scan references missing DHT")
+                k = ss
+                while k <= se:
+                    sym = _read_symbol(br, act)
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits_n(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC index overflow")
+                    blk[k] = _extend(br.bits_n(s), s) << al
+                    k += 1
+            else:                              # AC refine (jdphuff shape)
+                p1, m1 = 1 << al, -1 << al
+                k = ss
+                if eobrun == 0:
+                    _, act = tables(ci, 0, ac_t)
+                    if act is None:
+                        raise ValueError("JPEG: scan references missing DHT")
+                    while k <= se:
+                        sym = _read_symbol(br, act)
+                        r, s = sym >> 4, sym & 0xF
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "JPEG: bad refinement magnitude")
+                            newval = p1 if br.bit() else m1
+                        else:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits_n(r)
+                                break
+                        while k <= se:
+                            v = int(blk[k])
+                            if v != 0:
+                                if br.bit() and (v & p1) == 0:
+                                    blk[k] = v + (p1 if v >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if br.bit() and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
 
 
 @_as_value_errors
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (H, W, 3) uint8 RGB (grayscale replicated)."""
+    """JFIF bytes → (H, W, 3) uint8 RGB (grayscale replicated). Baseline
+    (SOF0/1) and progressive (SOF2); 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1
+    sampling; DRI/RSTn; fill bytes before markers."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qts: Dict[int, np.ndarray] = {}
-    huff: Dict[Tuple[int, int], Dict] = {}
-    comps: List[Tuple[int, int, int]] = []   # (id, qt_id, (h,v))
-    scan: List[Tuple[int, int, int]] = []    # (comp_idx, dc_table, ac_table)
+    huff: Dict[Tuple[int, int], np.ndarray] = {}
+    comps: List[_Component] = []
+    coef: List[np.ndarray] = []
+    grids: List[Tuple[int, int]] = []
     h = w = 0
-    while pos + 2 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError("JPEG: marker desync")
-        marker = struct.unpack(">H", data[pos:pos + 2])[0]
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    ri = 0
+    progressive = False
+    saw_frame = False
+    saw_scan = False
+    n = len(data)
+    while pos + 2 <= n:
+        marker, mpos = _marker_at(data, pos)
         if marker == EOI:
-            raise ValueError("JPEG: EOI before SOS")
-        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
-        body = data[pos + 4:pos + 2 + ln]
+            break
+        if marker == TEM or RST0 <= marker <= RST0 + 7:
+            pos = mpos + 1
+            continue
+        if marker in _BAD_SOF or marker == DAC:
+            raise ValueError(f"JPEG: unsupported frame type {marker:#x}")
+        ln = struct.unpack(">H", data[mpos + 1:mpos + 3])[0]
+        body = data[mpos + 3:mpos + 1 + ln]
         if marker == DQT:
             i = 0
             while i < len(body):
@@ -457,78 +1015,82 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1:i + 17])
-                n = sum(bits)
-                syms = list(body[i + 17:i + 17 + n])
+                nsym = sum(bits)
+                syms = list(body[i + 17:i + 17 + nsym])
                 huff[(tc, th)] = _decode_table(bits, syms)
-                i += 17 + n
-        elif marker == SOF2:
-            raise ValueError("JPEG: progressive streams unsupported")
-        elif marker in (SOF0, SOF1):
+                i += 17 + nsym
+        elif marker == DRI:
+            ri = struct.unpack(">H", body[:2])[0]
+        elif marker in (SOF0, SOF1, SOF2):
+            if saw_frame:
+                raise ValueError("JPEG: multiple frames unsupported")
+            saw_frame = True
+            progressive = marker == SOF2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
             if nc not in (1, 3):
                 raise ValueError(f"JPEG: {nc}-component images unsupported")
+            if h == 0 or w == 0:
+                raise ValueError("JPEG: missing/empty SOF")
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError("JPEG: only 4:4:4 sampling supported")
-                comps.append((cid, tq, hv))
+                comps.append(_Component(cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            for c in comps:
+                if c.h < 1 or c.v < 1 or hmax % c.h or vmax % c.v:
+                    raise ValueError("JPEG: unsupported sampling factors")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c.cw = -(-(w * c.h) // hmax)
+                c.ch = -(-(h * c.v) // vmax)
+                c.nbw = -(-c.cw // 8)
+                c.nbh = -(-c.ch // 8)
+                c.bw = mcux * c.h
+                c.bh = mcuy * c.v
+                coef.append(np.zeros((c.bh * c.bw, 64), dtype=np.int64))
+                grids.append((c.bh, c.bw))
         elif marker == SOS:
+            if not saw_frame:
+                raise ValueError("JPEG: SOS before SOF")
             ns = body[0]
+            scan = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
-                idx = next(i for i, (id_, _, _) in enumerate(comps)
-                           if id_ == cid)
+                idx = next((i for i, cc in enumerate(comps)
+                            if cc.cid == cid), None)
+                if idx is None:
+                    raise ValueError("JPEG: scan names unknown component")
                 scan.append((idx, tt >> 4, tt & 0xF))
-            pos = pos + 2 + ln
-            break
-        pos += 2 + ln
-    else:
+            ss_, se_, a_ = body[1 + 2 * ns:4 + 2 * ns]
+            ah_, al_ = a_ >> 4, a_ & 0xF
+            if not progressive:
+                ss_, se_, ah_, al_ = 0, 63, 0, 0
+            er = _EntropyReader(data, mpos + 1 + ln)
+            _decode_scan_blocks(er, scan, comps, coef, grids, progressive,
+                                ss_, se_, ah_, al_, ri, huff, mcux, mcuy)
+            saw_scan = True
+            pos = er.end
+            continue
+        pos = mpos + 1 + ln
+    if not saw_scan:
         raise ValueError("JPEG: no SOS marker")
-    if not comps or h == 0 or w == 0:
-        raise ValueError("JPEG: missing/empty SOF")
-
-    br = _BitReader(data, pos)
-    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    n_blocks = (h8 // 8) * (w8 // 8)
-    coefs = [np.zeros((n_blocks, 64), dtype=np.int64) for _ in comps]
-    prev = [0] * len(comps)
-    for b in range(n_blocks):
-        for ci, dc_t, ac_t in scan:
-            dct = huff.get((0, dc_t))
-            act = huff.get((1, ac_t))
-            if dct is None or act is None:
-                raise ValueError("JPEG: scan references missing DHT table")
-            s = _read_symbol(br, dct)
-            diff = _extend(br.bits_n(s), s)
-            prev[ci] += diff
-            blk = coefs[ci][b]
-            blk[0] = prev[ci]
-            k = 1
-            while k < 64:
-                sym = _read_symbol(br, act)
-                if sym == 0x00:            # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if sym == 0xF0:            # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG: coefficient index overflow")
-                blk[k] = _extend(br.bits_n(size), size)
-                k += 1
 
     planes = []
-    for ci, (cid, tq, _hv) in enumerate(comps):
-        if tq not in qts:
+    for ci, c in enumerate(comps):
+        if c.tq not in qts:
             raise ValueError("JPEG: component references missing DQT")
-        dq = (coefs[ci] * qts[tq][None, :])[:, _UNZZ].reshape(-1, 8, 8)
+        dq = (coef[ci] * qts[c.tq][None, :])[:, _UNZZ].reshape(-1, 8, 8)
         px = np.einsum("ji,njk,kl->nil", _DCT, dq.astype(np.float64), _DCT)
         px += 128.0
-        plane = (px.reshape(h8 // 8, w8 // 8, 8, 8)
-                   .transpose(0, 2, 1, 3).reshape(h8, w8))
+        plane = (px.reshape(c.bh, c.bw, 8, 8)
+                   .transpose(0, 2, 1, 3).reshape(c.bh * 8, c.bw * 8))
+        plane = plane[:c.ch, :c.cw]
+        fy, fx = vmax // c.v, hmax // c.h
+        if fy > 1 or fx > 1:               # box upsample (replication)
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
         g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -2652,9 +2652,22 @@ def jpeg_features_sql(sf_dir: str) -> str:
 _JPEG_CACHE: dict = {}
 
 
+# encode-mode cycle: each sampled input exercises a different stream shape
+# (baseline, progressive SOF2, 4:2:0, DRI/RSTn, progressive 4:2:2) so the
+# distributed decode stage covers the full from-spec decoder surface
+_JPEG_MODES = [
+    {},
+    {"progressive": True},
+    {"subsampling": "4:2:0"},
+    {"restart_interval": 4},
+    {"subsampling": "4:2:2", "progressive": True},
+]
+
+
 def _jpeg_tables(sf_dir: str):
-    """(inputs, expected) pair: generator images → baseline JPEG bytes,
-    plus single-process decode→feature fingerprints of those bytes."""
+    """(inputs, expected) pair: generator images → JPEG bytes (mode cycled
+    per _JPEG_MODES), plus single-process decode→feature fingerprints of
+    those bytes."""
     from ..functions.jpeg import decode_jpeg, encode_jpeg
     from ..functions.raster import decode_payload
     from ..stages.multimodal import image_features
@@ -2666,9 +2679,10 @@ def _jpeg_tables(sf_dir: str):
     metas = _ocr_payload_metas(sf_dir)
     step = JPEG_SAMPLE_EVERY if len(metas) > 8 * JPEG_SAMPLE_EVERY else \
         max(1, len(metas) // 8)
-    for meta in metas[::step]:
+    for i, meta in enumerate(metas[::step]):
         img, _s, _m = decode_payload(meta["payload"])
-        jb = encode_jpeg(img, JPEG_INPUT_QUALITY)
+        jb = encode_jpeg(img, JPEG_INPUT_QUALITY,
+                         **_JPEG_MODES[i % len(_JPEG_MODES)])
         v = image_features(decode_jpeg(jb))
         inp["url"].append(meta["url"])
         inp["payload"].append(jb)
@@ -2686,7 +2700,8 @@ def _jpeg_tables(sf_dir: str):
 
 
 def _ensure_jpeg_aux(sf_dir: str) -> None:
-    extra = f"q={JPEG_INPUT_QUALITY},s={JPEG_SAMPLE_EVERY}"
+    extra = (f"q={JPEG_INPUT_QUALITY},s={JPEG_SAMPLE_EVERY},"
+             f"m={len(_JPEG_MODES)}v2")
     _ensure_aux("jpeg_inputs.parquet", sf_dir,
                 lambda: _jpeg_tables(sf_dir)[0], extra=extra)
     _ensure_aux("jpeg_features_expected.parquet", sf_dir,
@@ -2694,10 +2709,11 @@ def _ensure_jpeg_aux(sf_dir: str) -> None:
 
 
 def x_jpeg_features(sf_dir: str):
-    """Lossy real image format end-to-end: baseline JPEG decode
-    (functions/jpeg.py — spec-implemented, general DHT/DQT parsing) →
-    feature vectors, SQL-oracled against the single-process decode of the
-    same bytes (the thumbs_expected pattern for lossy codecs)."""
+    """Lossy real image format end-to-end: JPEG decode (functions/jpeg.py —
+    spec-implemented: baseline + progressive SOF2, 4:2:0/4:2:2, DRI/RSTn;
+    inputs cycle every mode via _JPEG_MODES) → feature vectors, SQL-oracled
+    against the single-process decode of the same bytes (the
+    thumbs_expected pattern for lossy codecs)."""
     import os as _os
 
     import ray.data

@@ -78,17 +78,78 @@ def test_rejects():
         jpeg.decode_jpeg(b"not a jpeg")
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(good[:40])                    # truncated
-    # progressive SOF2 fails fast: retag the SOF0 marker
-    prog = bytearray(good)
-    sof = prog.find(b"\xff\xc0")
+    # arithmetic-coded SOF9 fails fast: retag the SOF0 marker
+    arith = bytearray(good)
+    sof = arith.find(b"\xff\xc0")
     assert sof > 0
-    prog[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
-        jpeg.decode_jpeg(bytes(prog))
+    arith[sof + 1] = 0xC9
+    with pytest.raises(ValueError, match="unsupported frame"):
+        jpeg.decode_jpeg(bytes(arith))
+    with pytest.raises(ValueError, match="unsupported frame"):
+        jpeg.jpeg_meta(bytes(arith))
     with pytest.raises(ValueError):
         jpeg.jpeg_meta(b"\xff\xd8\xff\xd9")            # SOI+EOI, no SOF
     with pytest.raises(ValueError):
         jpeg.encode_jpeg(np.zeros((0, 4, 3), np.uint8))
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg(img, 85, subsampling="4:1:0")
+    with pytest.raises(ValueError):                    # sequential-only knob
+        jpeg.encode_jpeg(img, 85, progressive=True, restart_interval=2)
+
+
+def test_progressive_pixels_identical_to_sequential():
+    """SOF2 + the 10-scan simple-progression script is a pure entropy-layer
+    repackaging of the same quantized coefficients — decoded pixels must be
+    byte-identical to the sequential stream's, for every sampling mode."""
+    img = _structured(41, 57)
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85, subsampling=sub))
+        pb = jpeg.encode_jpeg(img, 85, subsampling=sub, progressive=True)
+        assert jpeg.jpeg_meta(pb)["progressive"] == 1
+        assert (jpeg.decode_jpeg(pb) == seq).all(), sub
+
+
+def test_restart_interval_pixels_identical():
+    """DRI/RSTn is byte-aligned repackaging: decoded pixels must equal the
+    no-restart stream's, at any interval, for every sampling mode."""
+    img = _structured(41, 57)
+    for sub in ("4:4:4", "4:2:0"):
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85, subsampling=sub))
+        for ri in (1, 3, 7):
+            rb = jpeg.encode_jpeg(img, 85, subsampling=sub,
+                                  restart_interval=ri)
+            assert rb.find(b"\xff\xdd") > 0            # DRI present
+            assert (jpeg.decode_jpeg(rb) == seq).all(), (sub, ri)
+
+
+def test_subsampled_round_trip_psnr():
+    img = _structured(40, 56)
+    for sub, min_psnr in (("4:2:2", 40.0), ("4:2:0", 37.0)):
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85, subsampling=sub))
+        assert out.shape == img.shape
+        assert _psnr(img, out) >= min_psnr, sub
+
+
+def test_fill_bytes_before_markers():
+    """Spec-legal 0xFF padding before a marker (T.81 B.1.1.2) must parse."""
+    img = _structured(24, 24)
+    good = jpeg.encode_jpeg(img, 85)
+    base = jpeg.decode_jpeg(good)
+    i = good.find(b"\xff\xdb")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    assert (jpeg.decode_jpeg(padded) == base).all()
+    assert jpeg.jpeg_meta(padded)["width"] == 24
+
+
+def test_mode_matrix_shapes():
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1, 3), (7, 9, 3), (16, 17, 3), (33, 31, 3)]:
+        im = rng.integers(0, 256, shape, dtype=np.uint8)
+        for kw in ({}, {"progressive": True}, {"restart_interval": 2},
+                   {"subsampling": "4:2:0"}, {"subsampling": "4:2:2"},
+                   {"subsampling": "4:2:0", "progressive": True}):
+            out = jpeg.decode_jpeg(jpeg.encode_jpeg(im, 80, **kw))
+            assert out.shape == im.shape, (shape, kw)
 
 
 def test_dispatch_integration():
