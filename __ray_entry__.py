@@ -18,6 +18,7 @@ from typing import Any
 
 from deepseek_ocr_rs_ray.pipelines import corpus as C
 from deepseek_ocr_rs_ray.pipelines import quality as Q
+from deepseek_ocr_rs_ray.pipelines import quantize as QT
 from deepseek_ocr_rs_ray.pipelines import relational as R
 from deepseek_ocr_rs_ray.pipelines import sketches as SK
 
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_jpeg_features": C.x_jpeg_features,
         "q_heavy_user_sets": R.q_heavy_user_sets,
         "q_value_percentiles_cont": R.q_value_percentiles_cont,
+        "x_quantize_export": QT.x_quantize_export,
     }
 
 
@@ -223,6 +225,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "x_jpeg_features": C.jpeg_features_sql(sf_dir),
         "q_heavy_user_sets": R.Q_HEAVY_USER_SETS_SQL,
         "q_value_percentiles_cont": R.Q_PERCENTILES_CONT_SQL,
+        "x_quantize_export": QT.quantize_export_sql(sf_dir),
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally
