@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_heavy_user_sets": R.q_heavy_user_sets,
         "q_value_percentiles_cont": R.q_value_percentiles_cont,
         "x_quantize_export": QT.x_quantize_export,
+        "x_avi_frames": C.x_avi_frames,
+        "x_mp4_meta": C.x_mp4_meta,
     }
 
 
@@ -226,6 +228,8 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_heavy_user_sets": R.Q_HEAVY_USER_SETS_SQL,
         "q_value_percentiles_cont": R.Q_PERCENTILES_CONT_SQL,
         "x_quantize_export": QT.quantize_export_sql(sf_dir),
+        "x_avi_frames": C.avi_frames_sql(sf_dir),
+        "x_mp4_meta": C.mp4_meta_sql(sf_dir),
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

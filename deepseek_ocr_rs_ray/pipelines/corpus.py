@@ -2729,6 +2729,179 @@ def x_jpeg_features(sf_dir: str):
     return feats.map_batches(_fingerprint_features, batch_format="pyarrow")
 
 
+AVI_FPS = 10
+
+
+def avi_frames_sql(sf_dir: str) -> str:
+    # MJPEG is LOSSY: expected per-frame fingerprints come from the
+    # single-process decode of the same AVI bytes (thumbs_expected
+    # discipline), like x_jpeg_features.
+    return (f"SELECT url, frame_index, n_dims, features_md5 FROM "
+            f"read_parquet('{aux_dir_for(sf_dir)}"
+            f"/avi_frames_expected.parquet')")
+
+
+_AVI_CACHE: dict = {}
+
+
+def _avi_tables(sf_dir: str):
+    """(inputs, expected): each sampled OCR clip (vertical 64px frame
+    stack) re-encoded as an MJPEG AVI (functions/avi.py — a real RIFF
+    video container, JPEG per frame), plus single-process frame-sample
+    fingerprints of those bytes."""
+    from ..functions.avi import encode_avi_mjpeg
+    from ..functions.raster import decode_payload
+    from ..stages.multimodal import FrameSampleStage
+    n = pages_rows_for(sf_dir)
+    if n in _AVI_CACHE:
+        return _AVI_CACHE[n]
+    urls, payloads = [], []
+    metas = _ocr_payload_metas(sf_dir)
+    step = JPEG_SAMPLE_EVERY if len(metas) > 8 * JPEG_SAMPLE_EVERY else \
+        max(1, len(metas) // 8)
+    for meta in metas[::step]:
+        img, _s, _m = decode_payload(meta["payload"])
+        n_frames = max(img.shape[0] // 64, 1)
+        frames = [img[t * 64:(t + 1) * 64] for t in range(n_frames)]
+        urls.append(meta["url"])
+        payloads.append(encode_avi_mjpeg(frames, fps=AVI_FPS,
+                                         quality=JPEG_INPUT_QUALITY))
+    inputs = pa.table({"url": pa.array(urls, pa.string()),
+                       "payload": pa.array(payloads, pa.binary())})
+    stage = FrameSampleStage(frame_h=64, stride=2, codec="avi")
+    expected = _fingerprint_features(stage(inputs))
+    _AVI_CACHE[n] = (inputs, expected)
+    return inputs, expected
+
+
+def _ensure_avi_aux(sf_dir: str) -> None:
+    extra = f"q={JPEG_INPUT_QUALITY},s={JPEG_SAMPLE_EVERY},fps={AVI_FPS}"
+    _ensure_aux("avi_inputs.parquet", sf_dir,
+                lambda: _avi_tables(sf_dir)[0], extra=extra)
+    _ensure_aux("avi_frames_expected.parquet", sf_dir,
+                lambda: _avi_tables(sf_dir)[1], extra=extra)
+
+
+def x_avi_frames(sf_dir: str):
+    """Real VIDEO container end-to-end: MJPEG AVI (RIFF) → per-frame JPEG
+    decode → frame-sampled features, SQL-oracled against the
+    single-process decode of the same bytes. Extends the multimodal
+    surface past images: mp4/webm keep fail-fast sample decode (no H.264
+    here) while the container layer is real (functions/mp4.py)."""
+    import os as _os
+
+    import ray.data
+
+    from ..stages.multimodal import FrameSampleStage
+    _ensure_avi_aux(sf_dir)
+    ds = ray.data.read_parquet(
+        _os.path.join(aux_dir_for(sf_dir), "avi_inputs.parquet"))
+    frames = ds.map_batches(
+        FrameSampleStage(frame_h=64, stride=2, codec="avi"),
+        batch_format="pyarrow", batch_size=1)
+    return frames.map_batches(_fingerprint_features, batch_format="pyarrow")
+
+
+def mp4_meta_sql(sf_dir: str) -> str:
+    # GROUND-TRUTH oracle: the expected values are derived arithmetically
+    # from the generator's payload dims (width, height, frames->duration),
+    # independent of the parser under test.
+    return (f"SELECT url, brand, duration_ms, n_tracks, codec, width, "
+            f"height FROM read_parquet('{aux_dir_for(sf_dir)}"
+            f"/mp4_expected.parquet')")
+
+
+def _ensure_mp4_aux(sf_dir: str) -> None:
+    """Inputs: deterministic ISO-BMFF skeletons synthesized from each OCR
+    payload's known dims (functions/mp4.py::encode_mp4_skeleton); expected:
+    the same metadata tabulated directly from the generator — so the
+    distributed box parser is checked against ground truth, not itself."""
+
+    def tables():
+        from ..functions.mp4 import encode_mp4_skeleton
+        urls, payloads = [], []
+        exp = {"url": [], "brand": [], "duration_ms": [], "n_tracks": [],
+               "codec": [], "width": [], "height": []}
+        for i, meta in enumerate(_ocr_payload_metas(sf_dir)):
+            w, h = meta["width"], meta["height"]
+            n_frames = max(h // 64, 1)
+            dur = n_frames * 1000 // AVI_FPS
+            codec = ["avc1", "hev1", "av01"][i % 3]
+            urls.append(meta["url"])
+            payloads.append(encode_mp4_skeleton(w, h, dur, codec=codec))
+            exp["url"].append(meta["url"])
+            exp["brand"].append("isom")
+            exp["duration_ms"].append(dur)
+            exp["n_tracks"].append(1)
+            exp["codec"].append(codec)
+            exp["width"].append(w)
+            exp["height"].append(h)
+        inputs = pa.table({"url": pa.array(urls, pa.string()),
+                           "payload": pa.array(payloads, pa.binary())})
+        expected = pa.table({
+            "url": pa.array(exp["url"], pa.string()),
+            "brand": pa.array(exp["brand"], pa.string()),
+            "duration_ms": pa.array(exp["duration_ms"], pa.int64()),
+            "n_tracks": pa.array(exp["n_tracks"], pa.int64()),
+            "codec": pa.array(exp["codec"], pa.string()),
+            "width": pa.array(exp["width"], pa.int64()),
+            "height": pa.array(exp["height"], pa.int64()),
+        })
+        return inputs, expected
+
+    extra = f"fps={AVI_FPS},v1"
+    _ensure_aux("mp4_inputs.parquet", sf_dir, lambda: tables()[0],
+                extra=extra)
+    _ensure_aux("mp4_expected.parquet", sf_dir, lambda: tables()[1],
+                extra=extra)
+
+
+def x_mp4_meta(sf_dir: str):
+    """ISO-BMFF container schema pass: distributed box parse of mp4
+    payloads → (brand, duration, track codec/dims), oracled against
+    ground-truth metadata the generator synthesized the files from — the
+    dimension/duration/codec filter pass a video corpus runs before any
+    (absent here) sample decode."""
+    import os as _os
+
+    import ray.data
+
+    _ensure_mp4_aux(sf_dir)
+    ds = ray.data.read_parquet(
+        _os.path.join(aux_dir_for(sf_dir), "mp4_inputs.parquet"))
+
+    def parse(t: pa.Table) -> pa.Table:
+        from ..functions.mp4 import mp4_meta
+        rows = {"url": [], "brand": [], "duration_ms": [], "n_tracks": [],
+                "codec": [], "width": [], "height": []}
+        for url, payload in zip(t["url"].to_pylist(),
+                                t["payload"].to_pylist()):
+            try:
+                m = mp4_meta(payload)
+            except ValueError:
+                continue
+            tr = m["tracks"][0] if m["tracks"] else \
+                {"codec": "", "width": 0, "height": 0}
+            rows["url"].append(url)
+            rows["brand"].append(m["brand"])
+            rows["duration_ms"].append(m["duration_ms"])
+            rows["n_tracks"].append(m["n_tracks"])
+            rows["codec"].append(tr["codec"])
+            rows["width"].append(tr["width"])
+            rows["height"].append(tr["height"])
+        return pa.table({
+            "url": pa.array(rows["url"], pa.string()),
+            "brand": pa.array(rows["brand"], pa.string()),
+            "duration_ms": pa.array(rows["duration_ms"], pa.int64()),
+            "n_tracks": pa.array(rows["n_tracks"], pa.int64()),
+            "codec": pa.array(rows["codec"], pa.string()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "height": pa.array(rows["height"], pa.int64()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 # --- q_prompt_tokens: M1 (template render) + M11 (placeholder expansion) ---
 # The prompt text around the <image> slot is a CONSTANT of the operator, so
 # its token count embeds as a literal; the data-dependent part (the tile

@@ -168,29 +168,34 @@ class FrameSampleStage:
     - **APNG** (``functions/png.py::decode_apng``) — a real animated-image
       standard, frames decoded independently (restricted full-canvas
       profile, validated);
+    - **MJPEG AVI** (``functions/avi.py``) — a real RIFF video container,
+      every frame an independent JPEG decoded by functions/jpeg.py;
     - **RAW2 clip fake** — a RAW2 payload of height T*frame_h read as a
       T-frame vertical stack.
 
-    True video containers (mp4/webm) are NOT supported — the decoder
-    stack isn't in this environment; constructing with an unsupported
-    ``codec`` raises NotImplementedError at init (per-actor, so
-    misconfiguration fails fast). Every ``stride``-th frame's features
-    are emitted.
+    mp4/webm frame decode is NOT supported (no H.264/VP9 decoder in this
+    environment; the mp4 CONTAINER parses via functions/mp4.py::mp4_meta);
+    constructing with an unsupported ``codec`` raises NotImplementedError
+    at init (per-actor, so misconfiguration fails fast). Every
+    ``stride``-th frame's features are emitted.
     """
 
     def __init__(self, frame_h: int = 64, stride: int = 2,
                  codec: str = "raw2") -> None:
-        if codec not in ("raw2", "apng"):
+        if codec not in ("raw2", "apng", "avi"):
             raise NotImplementedError(
                 f"video codec {codec!r} requires ffmpeg/PyAV, absent from "
-                "this container — only 'raw2' clips and 'apng' are "
-                "supported")
+                "this container — only 'raw2' clips, 'apng' and MJPEG "
+                "'avi' are supported")
         self.frame_h = frame_h
         self.stride = stride
 
     def _frames(self, payload: bytes):
+        from ..functions import avi
         if png.is_apng(payload):
             return png.decode_apng(payload)
+        if avi.is_avi(payload):
+            return avi.decode_avi_mjpeg(payload)
         img, _scale, _margin = decode_image_payload(payload)
         if png.is_png(payload) or jpeg.is_jpeg(payload):
             return [img]       # single-image formats = 1-frame clip

@@ -1,0 +1,98 @@
+"""Video containers: MJPEG AVI (functions/avi.py — real RIFF container,
+frames via the JPEG codec) and ISO-BMFF metadata (functions/mp4.py),
+plus FrameSampleStage dispatch."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from deepseek_ocr_rs_ray.functions import avi, jpeg, mp4
+
+
+def _frames(n=4, h=24, w=32, seed=3):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for _ in range(n)]
+
+
+def test_avi_round_trip_container_lossless():
+    """The container layer adds no loss: each decoded frame equals the
+    decode of the standalone JPEG of the same frame."""
+    frames = _frames()
+    data = avi.encode_avi_mjpeg(frames, fps=10, quality=85)
+    assert avi.is_avi(data)
+    out = avi.decode_avi_mjpeg(data)
+    assert len(out) == len(frames)
+    for f, d in zip(frames, out):
+        ref = jpeg.decode_jpeg(jpeg.encode_jpeg(f, 85))
+        assert (d == ref).all()
+
+
+def test_avi_meta_and_determinism():
+    frames = _frames(5, 16, 48)
+    data = avi.encode_avi_mjpeg(frames, fps=25)
+    assert data == avi.encode_avi_mjpeg(frames, fps=25)
+    m = avi.avi_meta(data)
+    assert (m["width"], m["height"], m["n_frames"], m["fps"],
+            m["codec"]) == (48, 16, 5, 25, "MJPG")
+
+
+def test_avi_rejects():
+    with pytest.raises(ValueError):
+        avi.decode_avi_mjpeg(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        avi.encode_avi_mjpeg([])
+    with pytest.raises(ValueError):
+        avi.encode_avi_mjpeg([_frames(1)[0], _frames(1, h=8)[0]])
+    good = avi.encode_avi_mjpeg(_frames(2))
+    with pytest.raises(ValueError):
+        avi.decode_avi_mjpeg(good[:40])             # truncated
+    # non-MJPG fourcc fails fast
+    bad = bytearray(good)
+    i = bad.find(b"vidsMJPG")
+    bad[i + 4:i + 8] = b"H264"
+    with pytest.raises(ValueError, match="codec"):
+        avi.decode_avi_mjpeg(bytes(bad))
+
+
+def test_mp4_meta_round_trip():
+    data = mp4.encode_mp4_skeleton(1920, 1080, 60000, codec="hev1",
+                                   brand="mp42")
+    assert mp4.is_mp4(data)
+    m = mp4.mp4_meta(data)
+    assert m["brand"] == "mp42" and m["duration_ms"] == 60000
+    assert m["n_tracks"] == 1
+    t = m["tracks"][0]
+    assert (t["handler"], t["codec"], t["width"], t["height"]) \
+        == ("vide", "hev1", 1920, 1080)
+
+
+def test_mp4_largesize_and_rejects():
+    data = mp4.encode_mp4_skeleton(64, 32, 1000)
+    # rewrite ftyp as a 64-bit largesize box: parser must handle size==1
+    (sz,) = struct.unpack(">I", data[:4])
+    big = (struct.pack(">I", 1) + data[4:8] + struct.pack(">Q", sz + 8)
+           + data[8:sz]) + data[sz:]
+    m = mp4.mp4_meta(big)
+    assert m["tracks"][0]["width"] == 64
+    with pytest.raises(ValueError):
+        mp4.mp4_meta(b"\x00\x00\x00\x08free")       # no ftyp
+    with pytest.raises(ValueError):
+        mp4.mp4_meta(data[:20])                     # truncated moov
+    with pytest.raises(ValueError):
+        mp4.mp4_meta(mp4._box(b"ftyp", b"isom\x00\x00\x00\x00"))  # no moov
+
+
+def test_frame_stage_avi_dispatch():
+    import pyarrow as pa
+
+    from deepseek_ocr_rs_ray.stages.multimodal import FrameSampleStage
+    frames = _frames(6, 64, 40)
+    data = avi.encode_avi_mjpeg(frames, fps=10)
+    batch = pa.table({"url": pa.array(["avi://a"]),
+                      "payload": pa.array([data], pa.binary())})
+    out = FrameSampleStage(frame_h=64, stride=2, codec="avi")(batch)
+    assert out["frame_index"].to_pylist() == [0, 2, 4]
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(codec="mp4")
