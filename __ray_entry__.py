@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_quantize_export": QT.x_quantize_export,
         "x_avi_frames": C.x_avi_frames,
         "x_mp4_meta": C.x_mp4_meta,
+        "x_webm_meta": C.x_webm_meta,
     }
 
 
@@ -230,6 +231,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "x_quantize_export": QT.quantize_export_sql(sf_dir),
         "x_avi_frames": C.avi_frames_sql(sf_dir),
         "x_mp4_meta": C.mp4_meta_sql(sf_dir),
+        "x_webm_meta": C.webm_meta_sql(sf_dir),
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

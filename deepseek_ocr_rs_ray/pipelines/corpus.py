@@ -2902,6 +2902,100 @@ def x_mp4_meta(sf_dir: str):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def webm_meta_sql(sf_dir: str) -> str:
+    # ground-truth oracle, like x_mp4_meta
+    return (f"SELECT url, doctype, duration_ms, n_tracks, codec, width, "
+            f"height FROM read_parquet('{aux_dir_for(sf_dir)}"
+            f"/webm_expected.parquet')")
+
+
+def _ensure_webm_aux(sf_dir: str) -> None:
+    """EBML skeletons synthesized from each OCR payload's known dims
+    (functions/webm.py); expected tabulated directly from the generator."""
+
+    def tables():
+        from ..functions.webm import encode_webm_skeleton
+        urls, payloads = [], []
+        exp = {"url": [], "doctype": [], "duration_ms": [], "n_tracks": [],
+               "codec": [], "width": [], "height": []}
+        for i, meta in enumerate(_ocr_payload_metas(sf_dir)):
+            w, h = meta["width"], meta["height"]
+            n_frames = max(h // 64, 1)
+            dur = n_frames * 1000 // AVI_FPS
+            codec = ["V_VP9", "V_VP8", "V_AV1"][i % 3]
+            urls.append(meta["url"])
+            payloads.append(encode_webm_skeleton(w, h, dur, codec=codec))
+            exp["url"].append(meta["url"])
+            exp["doctype"].append("webm")
+            exp["duration_ms"].append(dur)
+            exp["n_tracks"].append(1)
+            exp["codec"].append(codec)
+            exp["width"].append(w)
+            exp["height"].append(h)
+        inputs = pa.table({"url": pa.array(urls, pa.string()),
+                           "payload": pa.array(payloads, pa.binary())})
+        expected = pa.table({
+            "url": pa.array(exp["url"], pa.string()),
+            "doctype": pa.array(exp["doctype"], pa.string()),
+            "duration_ms": pa.array(exp["duration_ms"], pa.int64()),
+            "n_tracks": pa.array(exp["n_tracks"], pa.int64()),
+            "codec": pa.array(exp["codec"], pa.string()),
+            "width": pa.array(exp["width"], pa.int64()),
+            "height": pa.array(exp["height"], pa.int64()),
+        })
+        return inputs, expected
+
+    extra = f"fps={AVI_FPS},v1"
+    _ensure_aux("webm_inputs.parquet", sf_dir, lambda: tables()[0],
+                extra=extra)
+    _ensure_aux("webm_expected.parquet", sf_dir, lambda: tables()[1],
+                extra=extra)
+
+
+def x_webm_meta(sf_dir: str):
+    """EBML/Matroska container schema pass (functions/webm.py): the webm
+    twin of x_mp4_meta, ground-truth-oracled. Sample decode (VP8/VP9/AV1)
+    stays fail-fast by design."""
+    import os as _os
+
+    import ray.data
+
+    _ensure_webm_aux(sf_dir)
+    ds = ray.data.read_parquet(
+        _os.path.join(aux_dir_for(sf_dir), "webm_inputs.parquet"))
+
+    def parse(t: pa.Table) -> pa.Table:
+        from ..functions.webm import webm_meta
+        rows = {"url": [], "doctype": [], "duration_ms": [],
+                "n_tracks": [], "codec": [], "width": [], "height": []}
+        for url, payload in zip(t["url"].to_pylist(),
+                                t["payload"].to_pylist()):
+            try:
+                m = webm_meta(payload)
+            except ValueError:
+                continue
+            tr = m["tracks"][0] if m["tracks"] else \
+                {"codec": "", "width": 0, "height": 0}
+            rows["url"].append(url)
+            rows["doctype"].append(m["doctype"])
+            rows["duration_ms"].append(m["duration_ms"])
+            rows["n_tracks"].append(m["n_tracks"])
+            rows["codec"].append(tr["codec"])
+            rows["width"].append(tr["width"])
+            rows["height"].append(tr["height"])
+        return pa.table({
+            "url": pa.array(rows["url"], pa.string()),
+            "doctype": pa.array(rows["doctype"], pa.string()),
+            "duration_ms": pa.array(rows["duration_ms"], pa.int64()),
+            "n_tracks": pa.array(rows["n_tracks"], pa.int64()),
+            "codec": pa.array(rows["codec"], pa.string()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "height": pa.array(rows["height"], pa.int64()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
 # --- q_prompt_tokens: M1 (template render) + M11 (placeholder expansion) ---
 # The prompt text around the <image> slot is a CONSTANT of the operator, so
 # its token count embeds as a literal; the data-dependent part (the tile

@@ -96,3 +96,27 @@ def test_frame_stage_avi_dispatch():
     assert out["frame_index"].to_pylist() == [0, 2, 4]
     with pytest.raises(NotImplementedError):
         FrameSampleStage(codec="mp4")
+
+
+def test_webm_meta_round_trip():
+    from deepseek_ocr_rs_ray.functions import webm
+    data = webm.encode_webm_skeleton(1280, 720, 45000, codec="V_VP9")
+    assert webm.is_webm(data)
+    m = webm.webm_meta(data)
+    assert m["doctype"] == "webm" and m["duration_ms"] == 45000
+    t = m["tracks"][0]
+    assert (t["type"], t["codec"], t["width"], t["height"]) \
+        == (1, "V_VP9", 1280, 720)
+    assert data == webm.encode_webm_skeleton(1280, 720, 45000,
+                                             codec="V_VP9")
+
+
+def test_webm_rejects():
+    from deepseek_ocr_rs_ray.functions import webm
+    good = webm.encode_webm_skeleton(64, 32, 1000)
+    with pytest.raises(ValueError):
+        webm.webm_meta(b"not ebml at all")
+    with pytest.raises(ValueError):
+        webm.webm_meta(good[:10])                    # truncated element
+    with pytest.raises(ValueError):
+        webm.webm_meta(b"\x1a\x45\xdf\xa3\x00")      # bad varint lead
