@@ -47,7 +47,7 @@ BENCH_QUERIES_EXT = [
     "x_png_features", "q_decontaminate", "q_bigram_lm_score",
     "x_apng_frames", "q_rank_orders", "x_jpeg_features",
     "q_heavy_user_sets", "q_value_percentiles_cont",
-    "x_quantize_export", "x_avi_frames", "x_mp4_meta",
+    "x_quantize_export", "x_avi_frames", "x_mp4_meta", "x_webm_meta",
 ]
 
 

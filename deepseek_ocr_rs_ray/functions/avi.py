@@ -22,6 +22,7 @@ from typing import Dict, List
 import numpy as np
 
 from . import jpeg
+from .jpeg import _as_value_errors
 
 _AVIF_HASINDEX = 0x10
 _AVIIF_KEYFRAME = 0x10
@@ -98,6 +99,7 @@ def _find_list(data: bytes, pos: int, end: int, kind: bytes):
     raise ValueError(f"AVI: missing {kind.decode()} list")
 
 
+@_as_value_errors
 def avi_meta(data: bytes) -> Dict[str, int]:
     """Header-only probe: dimensions, frame count, fps, codec fourcc."""
     if not is_avi(data):
@@ -122,6 +124,7 @@ def avi_meta(data: bytes) -> Dict[str, int]:
     return meta
 
 
+@_as_value_errors
 def decode_avi_mjpeg(data: bytes) -> List[np.ndarray]:
     """AVI bytes → list of (H, W, 3) uint8 frames (every ``..dc``/``..db``
     chunk JPEG-decoded)."""
