@@ -126,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "x_avi_frames": C.x_avi_frames,
         "x_mp4_meta": C.x_mp4_meta,
         "x_webm_meta": C.x_webm_meta,
+        "q_cube_orders": R.q_cube_orders,
+        "x_url_parse": C.x_url_parse,
+        "q_domain_rollup": C.q_domain_rollup,
     }
 
 
@@ -232,6 +235,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "x_avi_frames": C.avi_frames_sql(sf_dir),
         "x_mp4_meta": C.mp4_meta_sql(sf_dir),
         "x_webm_meta": C.webm_meta_sql(sf_dir),
+        "q_cube_orders": R.Q_CUBE_SQL,
+        "x_url_parse": C.url_parse_sql(sf_dir),
+        "q_domain_rollup": C.domain_rollup_sql(sf_dir),
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

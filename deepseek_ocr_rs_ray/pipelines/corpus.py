@@ -2996,6 +2996,170 @@ def x_webm_meta(sf_dir: str):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+# --- URL normalization: the CC-pipeline primitive before domain rollups ---
+
+URL_ROWS_PER_DOC = 1
+
+
+def url_parse_sql(sf_dir: str) -> str:
+    # GROUND-TRUTH oracle: expected fields tabulated from the synthesis
+    # PARTS, never from the parser under test.
+    return (f"SELECT url, scheme, host, port, registered_domain, "
+            f"path_depth, has_query FROM read_parquet("
+            f"'{aux_dir_for(sf_dir)}/url_expected.parquet')")
+
+
+def _ensure_url_aux(sf_dir: str) -> None:
+    """Deterministic URL corpus synthesized from parts (subdomains,
+    ccTLD second-level registries, ports, IPv4 literals, mixed case,
+    query strings); the expected table carries the parts themselves."""
+
+    def tables():
+        n_docs = pages_rows_for(sf_dir)
+        subs = ["", "www.", "CDN.Media.", "a.b.c."]
+        tlds = ["com", "org", "co.uk", "io", "com.au", "de"]
+        urls = []
+        exp = {"url": [], "scheme": [], "host": [], "port": [],
+               "registered_domain": [], "path_depth": [], "has_query": []}
+        for i in range(n_docs):
+            scheme = "https" if i % 2 else "http"
+            if i % 13 == 12:
+                host_disp = f"192.168.0.{i % 256}"
+                rd = host_disp
+            else:
+                base = f"site{i % 97}"
+                tld = tlds[i % len(tlds)]
+                host_disp = f"{subs[i % len(subs)]}{base}.{tld}"
+                rd = f"{base}.{tld}"
+            port = 8080 if i % 5 == 0 else -1
+            depth = i % 4
+            path = "".join(f"/p{d}" for d in range(depth))
+            query = "?q=1&x=2" if i % 3 == 0 else ""
+            url = (f"{scheme}://{host_disp}"
+                   + (f":{port}" if port > 0 else "") + path + query)
+            urls.append(url)
+            exp["url"].append(url)
+            exp["scheme"].append(scheme)
+            exp["host"].append(host_disp.lower())
+            exp["port"].append(port)
+            exp["registered_domain"].append(rd.lower())
+            exp["path_depth"].append(depth)
+            exp["has_query"].append(int(bool(query)))
+        inputs = pa.table({"url": pa.array(urls, pa.string())})
+        expected = pa.table({
+            "url": pa.array(exp["url"], pa.string()),
+            "scheme": pa.array(exp["scheme"], pa.string()),
+            "host": pa.array(exp["host"], pa.string()),
+            "port": pa.array(exp["port"], pa.int64()),
+            "registered_domain": pa.array(exp["registered_domain"],
+                                          pa.string()),
+            "path_depth": pa.array(exp["path_depth"], pa.int64()),
+            "has_query": pa.array(exp["has_query"], pa.int64()),
+        })
+        return inputs, expected
+
+    _ensure_aux("url_inputs.parquet", sf_dir, lambda: tables()[0],
+                extra="v1")
+    _ensure_aux("url_expected.parquet", sf_dir, lambda: tables()[1],
+                extra="v1")
+
+
+def x_url_parse(sf_dir: str):
+    """URL normalization as a distributed stage (functions/urltools.py):
+    scheme/host/port/registered-domain/path-depth per url, ground-truth-
+    oracled against the parts the corpus was synthesized from. The
+    registered-domain column is what CC-style curation buckets by
+    (domain dedup, per-domain caps, domain quality priors)."""
+    import os as _os
+
+    import ray.data
+
+    _ensure_url_aux(sf_dir)
+    ds = ray.data.read_parquet(
+        _os.path.join(aux_dir_for(sf_dir), "url_inputs.parquet"))
+
+    def parse(t: pa.Table) -> pa.Table:
+        from ..functions.urltools import parse_url
+        rows = {"url": [], "scheme": [], "host": [], "port": [],
+                "registered_domain": [], "path_depth": [], "has_query": []}
+        for url in t["url"].to_pylist():
+            try:
+                m = parse_url(url)
+            except ValueError:
+                continue
+            rows["url"].append(url)
+            for k in ("scheme", "host", "port", "registered_domain",
+                      "path_depth", "has_query"):
+                rows[k].append(m[k])
+        return pa.table({
+            "url": pa.array(rows["url"], pa.string()),
+            "scheme": pa.array(rows["scheme"], pa.string()),
+            "host": pa.array(rows["host"], pa.string()),
+            "port": pa.array(rows["port"], pa.int64()),
+            "registered_domain": pa.array(rows["registered_domain"],
+                                          pa.string()),
+            "path_depth": pa.array(rows["path_depth"], pa.int64()),
+            "has_query": pa.array(rows["has_query"], pa.int64()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def q_domain_rollup(sf_dir: str):
+    """Domain-level rollup over the parsed URL corpus: pages + distinct
+    hosts per registered domain — the aggregation CC curation runs before
+    per-domain caps. One pass: per-batch (domain, host) pre-agg, bounded
+    groupby (the synthesized corpus has ≤838 distinct domains at any sf;
+    a real web corpus would crc-shard first, the q_union_distinct
+    shape)."""
+    import os as _os
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    _ensure_url_aux(sf_dir)
+    ds = ray.data.read_parquet(
+        _os.path.join(aux_dir_for(sf_dir), "url_inputs.parquet"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.urltools import parse_url
+        doms, hosts = [], []
+        for url in t["url"].to_pylist():
+            try:
+                m = parse_url(url)
+            except ValueError:
+                continue
+            doms.append(m["registered_domain"])
+            hosts.append(m["host"])
+        tmp = pa.table({"registered_domain": pa.array(doms, pa.string()),
+                        "host": pa.array(hosts, pa.string()),
+                        "n": pa.array(np.ones(len(doms), dtype=np.int64))})
+        # (domain, host) pre-agg: distinct hosts survive, counts partial
+        return tmp.group_by(["registered_domain", "host"]).aggregate(
+            [("n", "sum")])
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("host")["n_sum"].sum()
+        return pd.DataFrame({
+            "registered_domain": [g["registered_domain"].iloc[0]],
+            "n_pages": [np.int64(s.sum())],
+            "n_hosts": [np.int64(len(s))]})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("registered_domain")
+              .map_groups(finish, batch_format="pandas"))
+
+
+def domain_rollup_sql(sf_dir: str) -> str:
+    return (f"""
+WITH u AS (SELECT registered_domain, host FROM read_parquet(
+  '{aux_dir_for(sf_dir)}/url_expected.parquet'))
+SELECT registered_domain, COUNT(*) AS n_pages,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+FROM u GROUP BY registered_domain
+""")
+
+
 # --- q_prompt_tokens: M1 (template render) + M11 (placeholder expansion) ---
 # The prompt text around the <image> slot is a CONSTANT of the operator, so
 # its token count embeds as a literal; the data-dependent part (the tile

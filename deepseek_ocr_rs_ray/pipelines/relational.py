@@ -1569,6 +1569,66 @@ FROM f GROUP BY ROLLUP(y, m)
 """
 
 
+def q_cube_orders(sf_dir: str):
+    """Order count/revenue by CUBE(o_orderpriority, o_orderstatus) with
+    'ALL' sentinels — completing the multi-level grouping family next to
+    ROLLUP (which lacks the (·, status) cross level).
+
+    Scale shape (the q_rollup_orders discipline): ONE distributed pass
+    computes only the finest (priority, status) level — a per-batch
+    partial-agg into a ≤15-group groupby — and all three coarser cube
+    levels are re-aggregations OF THAT BOUNDED RESULT on the driver;
+    facts are never re-scanned per level.
+    """
+    from ray.data.aggregate import Sum
+    ds = read_table(sf_dir, "orders", ["o_orderpriority", "o_orderstatus",
+                                       "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table({
+            "priority": t["o_orderpriority"],
+            "status": t["o_orderstatus"],
+            "cents": cents_arr(t["o_totalprice"]),
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+        return tmp.group_by(["priority", "status"]).aggregate(
+            [("cents", "sum"), ("n", "sum")])
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["priority", "status"])
+              .aggregate(Sum("cents_sum", alias_name="revenue_cents"),
+                         Sum("n_sum", alias_name="n_orders"))).to_pandas()
+
+    def lvl(df, keys):
+        g = (df.groupby(keys, as_index=False)
+               .agg(revenue_cents=("revenue_cents", "sum"),
+                    n_orders=("n_orders", "sum")))
+        for col in ("priority", "status"):
+            if col not in keys:
+                g[col] = "ALL"
+        return g
+
+    total = pd.DataFrame({
+        "priority": ["ALL"], "status": ["ALL"],
+        "revenue_cents": [np.int64(fine["revenue_cents"].sum())],
+        "n_orders": [np.int64(fine["n_orders"].sum())]})
+    out = pd.concat([fine, lvl(fine, ["priority"]), lvl(fine, ["status"]),
+                     total], ignore_index=True)
+    return out[["priority", "status", "n_orders", "revenue_cents"]].astype(
+        {"n_orders": "int64", "revenue_cents": "int64"})
+
+
+Q_CUBE_SQL = """
+WITH f AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s,
+         CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT COALESCE(p, 'ALL') AS priority, COALESCE(s, 'ALL') AS status,
+       COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM f GROUP BY CUBE(p, s)
+"""
+
+
 # ---------------------------------------------------------------------------
 # pivot (conditional aggregation to a wide table): segment × order status
 # ---------------------------------------------------------------------------
