@@ -405,3 +405,36 @@ def test_select_dtype_chain():
     assert select_dtype("Q6_K", 7) == ("F32", "Q6_K")
     with pytest.raises(ValueError):
         select_dtype("Q5_K", 256)
+
+
+# --- hypothesis fuzz: vectorized vs naive byte parity on arbitrary data ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    HAVE_HYP = True
+except ImportError:                       # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+    _vals = st.floats(min_value=-1e4, max_value=1e4, width=32,
+                      allow_nan=False, allow_infinity=False)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(_vals, min_size=64, max_size=64), st.integers(0, 2))
+    def test_fuzz_q8_0_parity(vals, _salt):
+        w = np.array(vals, F32)
+        assert Q.quantize_q8_0(w, 2, 32) == naive_q8_0(w, 2, 32)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(_vals, min_size=256, max_size=256))
+    def test_fuzz_q4_k_parity(vals):
+        w = np.array(vals, F32)
+        assert Q.quantize_q4_k(w, 1, 256) == naive_q4_k(w, 1, 256)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(_vals, min_size=256, max_size=256))
+    def test_fuzz_q6_k_parity(vals):
+        w = np.array(vals, F32)
+        assert Q.quantize_q6_k(w, 1, 256) == naive_q6_k(w, 1, 256)
