@@ -116,7 +116,9 @@ def avi_meta(data: bytes) -> Dict[str, int]:
                         if us_per_frame else 0, streams=int(streams))
         elif fourcc == b"LIST" and data[s:s + 4] == b"strl":
             for f2, s2, e2 in _walk(data, s + 4, e):
-                if f2 == b"strh":
+                # only the VIDEO stream's handler is the codec — an
+                # audio strl (fccType 'auds') must not overwrite it
+                if f2 == b"strh" and data[s2:s2 + 4] == b"vids":
                     meta["codec"] = data[s2 + 4:s2 + 8].decode("ascii",
                                                                "replace")
     if "width" not in meta:

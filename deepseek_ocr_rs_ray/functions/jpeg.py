@@ -528,8 +528,15 @@ def _emit_ac_refine(st: _ProgScanState, block, ss: int, se: int,
 
 
 def _emit_progressive_scan(em, scan_comps, ss, se, ah, al, coefs, grids,
-                           comps_hv, dc_tids, mcux, mcuy) -> None:
-    """One pass of a progressive scan (stats or bits)."""
+                           nb_grids, comps_hv, dc_tids, mcux,
+                           mcuy) -> None:
+    """One pass of a progressive scan (stats or bits).
+
+    Non-interleaved (single-component) scans traverse the component's OWN
+    block grid ``nb_grids[c]`` = (ceil(ch/8), ceil(cw/8)) per T.81 A.2.2 —
+    NOT the MCU-padded grid ``grids[c]``; the decoder reads exactly that
+    many blocks, and padded dummy blocks are only coded in interleaved
+    scans. Coefficient indexing stays padded-grid row-major."""
     if ss == 0:
         preds = [0] * len(comps_hv)
         sub_hv = [comps_hv[c] for c in scan_comps]
@@ -538,8 +545,8 @@ def _emit_progressive_scan(em, scan_comps, ss, se, ah, al, coefs, grids,
                   for _m, ci, by, bx in _mcu_block_list(sub_hv, mcux, mcuy))
         else:
             c = scan_comps[0]
-            bh, bw_c = grids[c]
-            it = ((c, by, bx) for by in range(bh) for bx in range(bw_c))
+            nbh, nbw = nb_grids[c]
+            it = ((c, by, bx) for by in range(nbh) for bx in range(nbw))
         for c, by, bx in it:
             row = coefs[c][by * grids[c][1] + bx]
             if ah == 0:
@@ -550,10 +557,11 @@ def _emit_progressive_scan(em, scan_comps, ss, se, ah, al, coefs, grids,
     if len(scan_comps) != 1:
         raise ValueError("JPEG: AC scans must be single-component")
     c = scan_comps[0]
-    bh, bw_c = grids[c]
+    nbh, nbw = nb_grids[c]
+    bw_c = grids[c][1]
     st = _ProgScanState(em, 0)
-    for by in range(bh):
-        for bx in range(bw_c):
+    for by in range(nbh):
+        for bx in range(nbw):
             row = coefs[c][by * bw_c + bx]
             if ah == 0:
                 _emit_ac_first(st, row, ss, se, al)
@@ -629,10 +637,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         out += struct.pack(">H", EOI)
         return bytes(out)
 
+    # per-component NON-padded block grids (ceil of the component's own
+    # pixel dims / 8) — what non-interleaved scans traverse
+    hmax = max(hc for hc, _ in comps_hv)
+    vmax = max(vc for _, vc in comps_hv)
+    nb_grids = []
+    for hc, vc in comps_hv:
+        ch = -(-(h * vc) // vmax)
+        cw = -(-(w * hc) // hmax)
+        nb_grids.append((-(-ch // 8), -(-cw // 8)))
     for scan_comps, ss, se, ah, al in _PROG_SCRIPT_3:
         counter = _SymbolCounter()
         _emit_progressive_scan(counter, scan_comps, ss, se, ah, al, coefs,
-                               grids, comps_hv, tids, mcux, mcuy)
+                               grids, nb_grids, comps_hv, tids, mcux, mcuy)
         dht, codes = _tables_from_counts(counter)
         out += dht
         body = bytearray([len(scan_comps)])
@@ -645,7 +662,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         out += _seg(SOS, bytes(body))
         writer = _SymbolWriter(codes)
         _emit_progressive_scan(writer, scan_comps, ss, se, ah, al, coefs,
-                               grids, comps_hv, tids, mcux, mcuy)
+                               grids, nb_grids, comps_hv, tids, mcux, mcuy)
         writer.bw.flush()
         out += writer.bw.out
     out += struct.pack(">H", EOI)

@@ -50,12 +50,11 @@ def _parse_trak(data: bytes, s: int, e: int) -> Dict:
     track: Dict = {"handler": "", "codec": "", "width": 0, "height": 0}
     for btype, bs, be in _walk(data, s, e):
         if btype == b"tkhd":
-            ver = data[bs]
-            # width/height are the last two 16.16 fixed-point fields
+            # width/height are the last two 16.16 fixed-point fields in
+            # both tkhd versions (v0 84 bytes, v1 96 bytes)
             w, h = struct.unpack(">II", data[be - 8:be])
             track["width"] = w >> 16
             track["height"] = h >> 16
-            del ver
         elif btype == b"mdia":
             for b2, s2, e2 in _walk(data, bs, be):
                 if b2 == b"hdlr":
@@ -121,8 +120,15 @@ def encode_mp4_skeleton(width: int, height: int, duration_ms: int,
                 + b"isomiso2")
     mvhd = _box(b"mvhd", bytes(4) + struct.pack(">II", 0, 0)
                 + struct.pack(">II", timescale, duration) + bytes(80))
-    tkhd = _box(b"tkhd", bytes(4) + bytes(16) + struct.pack(">I", 1)
-                + bytes(56)
+    # spec-exact version-0 tkhd (84-byte body, 14496-12 §8.3.2): ver/flags,
+    # creation+modification, track_ID at offset 12, reserved, duration,
+    # reserved[2], layer/alternate_group/volume/reserved, identity matrix,
+    # 16.16 width/height
+    identity = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                           0, 0, 0x40000000)
+    tkhd = _box(b"tkhd", bytes(4) + bytes(8) + struct.pack(">I", 1)
+                + bytes(4) + struct.pack(">I", duration) + bytes(8)
+                + bytes(8) + identity
                 + struct.pack(">II", width << 16, height << 16))
     hdlr = _box(b"hdlr", bytes(8) + b"vide" + bytes(12)
                 + b"VideoHandler\x00")

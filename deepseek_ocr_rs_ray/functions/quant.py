@@ -79,8 +79,14 @@ def _as_blocks(weights: np.ndarray, rows: int, cols: int,
 
 
 def _nearest_int(x: np.ndarray) -> np.ndarray:
-    """ggml nearest_int: float32 round-half-to-even."""
-    return np.rint(x.astype(_F32)).astype(np.int32)
+    """ggml nearest_int: float32 round-half-to-even — made total over
+    inf/NaN inputs (subnormal block spans overflow the candidate iscales;
+    ggml's magic-number trick asserts/UB there, Candle's Rust cast
+    saturates): NaN→0, ±inf/huge→saturate. Callers clamp afterwards, so
+    any saturated value lands on their bound."""
+    x = np.rint(np.asarray(x, dtype=_F32))
+    x = np.nan_to_num(x, nan=0.0, posinf=float(2**62), neginf=-float(2**62))
+    return np.clip(x, -float(2**62), float(2**62)).astype(np.int64)
 
 
 def _round_away(x: np.ndarray) -> np.ndarray:
@@ -100,7 +106,11 @@ def quantize_q8_0(weights, rows: int, cols: int) -> bytes:
     scale = np.where(amax > 0, amax / _F32(127.0), _F32(0.0)).astype(_F32)
     inv = np.divide(_F32(1.0), scale, out=np.zeros_like(scale),
                     where=scale != 0)
-    q = np.clip(_round_away(blocks * inv[:, None]), -128, 127).astype(np.int8)
+    # subnormal amax ⇒ inv overflows to inf and 0·inf = NaN; the reference
+    # uses Rust's saturating float→int cast (NaN→0) + clamp (±inf→bounds)
+    scaled = np.nan_to_num(_round_away(blocks * inv[:, None]),
+                           nan=0.0, posinf=127.0, neginf=-128.0)
+    q = np.clip(scaled, -128, 127).astype(np.int8)
     q[scale == 0] = 0
     out = np.zeros((len(blocks), Q8_0_BLOCK_BYTES), dtype=np.uint8)
     out[:, :2] = scale.astype("<f2").view(np.uint8).reshape(-1, 2)
@@ -219,7 +229,9 @@ def _make_qkx2_quants(X: np.ndarray, W: np.ndarray, nmax: int,
             mn = np.where(better, this_min, mn).astype(_F32)
     scale = np.where(flat, _F32(0.0), scale).astype(_F32)
     L = np.where(flat[:, None], 0, L)
-    return scale, (-mn).astype(_F32), L
+    # +0.0 canonicalizes -0.0 (an all-±zero sub-block's min sign depends
+    # on reduction order; the f16 scale bytes must be deterministic)
+    return scale, ((-mn) + _F32(0.0)).astype(_F32), L
 
 
 # ---------------------------------------------------------------------------
@@ -279,8 +291,8 @@ def quantize_q4_k(weights, rows: int, cols: int) -> bytes:
     ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales))
     lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins))
     sb = _pack_k_scales(ls.astype(np.uint8), lm.astype(np.uint8))
-    d16 = (max_scale / _F32(63.0)).astype("<f2")
-    dmin16 = (max_min / _F32(63.0)).astype("<f2")
+    d16 = (max_scale / _F32(63.0) + _F32(0.0)).astype("<f2")
+    dmin16 = (max_min / _F32(63.0) + _F32(0.0)).astype("<f2")
     # re-quantize with the DEQUANTIZED (f16-rounded) super-scales
     sc, m = _unpack_k_scales(sb)
     dd = (d16.astype(_F32)[:, None] * sc.astype(_F32)).astype(_F32)
@@ -339,7 +351,7 @@ def quantize_q6_k(weights, rows: int, cols: int) -> bytes:
     dead = absmax < GROUP_MAX_EPS
     safe_ms = np.where(dead, _F32(1.0), max_scale).astype(_F32)
     iscale = (_F32(-128.0) / safe_ms).astype(_F32)
-    d16 = (_F32(1.0) / iscale).astype("<f2")
+    d16 = (_F32(1.0) / iscale + _F32(0.0)).astype("<f2")
     sc8 = np.minimum(127, _nearest_int(iscale[:, None] * scales)) \
         .astype(np.int8)
     dd = (d16.astype(_F32)[:, None] * sc8.astype(_F32)).astype(_F32)

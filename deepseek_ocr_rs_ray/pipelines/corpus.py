@@ -2849,7 +2849,7 @@ def _ensure_mp4_aux(sf_dir: str) -> None:
         })
         return inputs, expected
 
-    extra = f"fps={AVI_FPS},v1"
+    extra = f"fps={AVI_FPS},v2"
     _ensure_aux("mp4_inputs.parquet", sf_dir, lambda: tables()[0],
                 extra=extra)
     _ensure_aux("mp4_expected.parquet", sf_dir, lambda: tables()[1],
@@ -2997,8 +2997,6 @@ def x_webm_meta(sf_dir: str):
 
 
 # --- URL normalization: the CC-pipeline primitive before domain rollups ---
-
-URL_ROWS_PER_DOC = 1
 
 
 def url_parse_sql(sf_dir: str) -> str:

@@ -209,7 +209,8 @@ def build_tensor_table(sf_dir: str) -> pa.Table:
     """Deterministic tensor specs from the embeddings table: each group of
     8 consecutive vec_ids forms one (2 × 256) tensor; requested dtype
     cycles Q6_K/Q4_K/Q8_0; every 4th group re-shapes to (4 × 128) to
-    exercise the Q8_0 auto-fallback and every 16th to (16 × 40) for the
+    exercise the Q8_0 auto-fallback and every 16th to (32 × 16) — 16 is
+    not a multiple of any quant block, so those rows land on the F32
     float fallback; every 3rd tensor carries an f32 bias."""
     import pyarrow.parquet as pq
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
@@ -222,7 +223,7 @@ def build_tensor_table(sf_dir: str) -> pa.Table:
     for g in range(n_groups):
         flat = vecs[g * QUANT_GROUP:(g + 1) * QUANT_GROUP].reshape(-1)
         if g % 16 == 15:
-            rows, cols = 16, len(flat) // 16        # 40: float fallback
+            rows, cols = 32, len(flat) // 32        # 16: → F32 fallback
         elif g % 4 == 3:
             rows, cols = 4, len(flat) // 4          # 128: → Q8_0 fallback
         else:
@@ -269,7 +270,7 @@ def _ensure_quant_aux(sf_dir: str) -> None:
         return _fingerprint_quant(quantize_tensor_batch(build_tensor_table(
             sf_dir)))
 
-    extra = f"g={QUANT_GROUP},v1"
+    extra = f"g={QUANT_GROUP},v2"
     _ensure_aux("quant_inputs.parquet", sf_dir, build_inputs, extra=extra)
     _ensure_aux("quant_expected.parquet", sf_dir, build_expected,
                 extra=extra)

@@ -101,12 +101,19 @@ def test_progressive_pixels_identical_to_sequential():
     """SOF2 + the 10-scan simple-progression script is a pure entropy-layer
     repackaging of the same quantized coefficients — decoded pixels must be
     byte-identical to the sequential stream's, for every sampling mode."""
-    img = _structured(41, 57)
-    for sub in ("4:4:4", "4:2:2", "4:2:0"):
-        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85, subsampling=sub))
-        pb = jpeg.encode_jpeg(img, 85, subsampling=sub, progressive=True)
-        assert jpeg.jpeg_meta(pb)["progressive"] == 1
-        assert (jpeg.decode_jpeg(pb) == seq).all(), sub
+    # shapes chosen so the luma width/height are NOT MCU-aligned under
+    # subsampling (w % 16 in 1..8): the non-interleaved progressive scans
+    # must traverse the component's own ceil(cw/8) grid, not the
+    # MCU-padded one, or the streams desync silently (round-5 review)
+    for h, w in ((41, 57), (24, 24), (16, 17), (64, 24), (33, 31)):
+        img = _structured(h, w)
+        for sub in ("4:4:4", "4:2:2", "4:2:0"):
+            seq = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85,
+                                                    subsampling=sub))
+            pb = jpeg.encode_jpeg(img, 85, subsampling=sub,
+                                  progressive=True)
+            assert jpeg.jpeg_meta(pb)["progressive"] == 1
+            assert (jpeg.decode_jpeg(pb) == seq).all(), (h, w, sub)
 
 
 def test_restart_interval_pixels_identical():

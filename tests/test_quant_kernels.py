@@ -15,7 +15,12 @@ F32 = np.float32
 
 
 def _nearest_int(x):
-    return int(np.rint(np.float32(x)))
+    # total over inf/NaN, mirroring functions/quant.py (saturate + later
+    # clamp): NaN -> 0, +-inf -> huge sentinel the caller's clip bounds
+    v = np.rint(np.float32(x))
+    if np.isnan(v):
+        return 0
+    return int(np.clip(v, -float(2**62), float(2**62)))
 
 
 def _round_away(x):
@@ -42,7 +47,12 @@ def naive_q8_0(w, rows, cols):
             continue
         inv = np.float32(1.0) / scale
         for v in block:
-            qv = int(np.clip(_round_away(np.float32(v) * inv), -128, 127))
+            x = _round_away(np.float32(v) * inv)
+            # Rust saturating cast semantics: NaN→0, ±inf→clamp bounds
+            if np.isnan(x):
+                qv = 0
+            else:
+                qv = int(np.clip(x, -128, 127))
             out += int(np.int8(qv)).to_bytes(1, "little", signed=True)
     return bytes(out)
 
@@ -70,8 +80,10 @@ def naive_make_qx(x, nmax):
     # naive accumulation order differs from numpy pairwise — compare via
     # the vectorized single-row sums instead, keeping C selection logic
     def trial_np(iscale):
-        li = np.clip(np.rint((np.float32(iscale) * x).astype(F32))
-                     .astype(np.int32), -nmax, nmax - 1)
+        raw = np.rint((np.float32(iscale) * x).astype(F32))
+        raw = np.nan_to_num(raw, nan=0.0, posinf=float(2**62),
+                            neginf=-float(2**62))
+        li = np.clip(raw, -nmax, nmax - 1).astype(np.int64)
         lf = li.astype(F32)
         w = x * x
         return (list(li), (w * x * lf).sum(dtype=F32),
@@ -102,7 +114,8 @@ def naive_make_qkx2(x, weights, nmax, rmin, rdelta, nstep):
     sum_w = weights.sum(dtype=F32)
     sum_x = (weights * x).sum(dtype=F32)
     if mx == mn:
-        return np.float32(0.0), np.float32(-mn), [0] * len(x)
+        return (np.float32(0.0), np.float32(-mn + np.float32(0.0)),
+                [0] * len(x))
     iscale = np.float32(nmax / (mx - mn))
     scale = np.float32(1.0 / iscale)
 
@@ -133,7 +146,7 @@ def naive_make_qkx2(x, weights, nmax, rmin, rdelta, nstep):
                 .sum(dtype=F32)
             if mad < best_mad:
                 L, best_mad, scale, mn = laux, mad, this_scale, this_min
-    return scale, np.float32(-mn), L
+    return scale, np.float32(-mn + np.float32(0.0)), L
 
 
 def naive_q6_k(w, rows, cols):
@@ -151,7 +164,7 @@ def naive_q6_k(w, rows, cols):
             continue
         max_scale = scales[np.abs(scales).argmax()]
         iscale = np.float32(-128.0 / max_scale)
-        d16 = np.float16(np.float32(1.0) / iscale)
+        d16 = np.float16(np.float32(1.0) / iscale + np.float32(0.0))
         sc8 = [min(127, _nearest_int(iscale * s)) for s in scales]
         for j in range(16):
             dd = np.float32(np.float32(d16) * np.float32(sc8[j]))
@@ -209,8 +222,8 @@ def naive_q4_k(w, rows, cols):
                 sb[j + 4] = (ls & 0xF) | ((lm & 0xF) << 4)
                 sb[j - 4] |= (ls >> 4) << 6
                 sb[j] |= (lm >> 4) << 6
-        d16 = np.float16(max_scale / np.float32(63.0))
-        dmin16 = np.float16(max_min / np.float32(63.0))
+        d16 = np.float16(max_scale / np.float32(63.0) + np.float32(0.0))
+        dmin16 = np.float16(max_min / np.float32(63.0) + np.float32(0.0))
         for j in range(8):
             if j < 4:
                 sc = sb[j] & 63

@@ -120,3 +120,38 @@ def test_webm_rejects():
         webm.webm_meta(good[:10])                    # truncated element
     with pytest.raises(ValueError):
         webm.webm_meta(b"\x1a\x45\xdf\xa3\x00")      # bad varint lead
+
+
+def test_avi_meta_ignores_audio_stream():
+    """A second (audio) strl must not overwrite the video codec
+    (round-5 review: last-stream-wins bug)."""
+    frames = _frames(2)
+    data = bytearray(avi.encode_avi_mjpeg(frames))
+    # append an audio strl (fccType 'auds', handler 'PCM ') to hdrl
+    strh = b"auds" + b"PCM " + bytes(48)
+    audio_strl = avi._list(b"strl", avi._chunk(b"strh", strh))
+    i = data.find(b"LIST")
+    (hdrl_size,) = struct.unpack("<I", data[i + 4:i + 8])
+    patched = (bytes(data[:i + 4])
+               + struct.pack("<I", hdrl_size + len(audio_strl))
+               + bytes(data[i + 8:i + 8 + hdrl_size]) + audio_strl
+               + bytes(data[i + 8 + hdrl_size:]))
+    patched = (patched[:4]
+               + struct.pack("<I", len(patched) - 8) + patched[8:])
+    m = avi.avi_meta(patched)
+    assert m["codec"] == "MJPG"
+    assert len(avi.decode_avi_mjpeg(patched)) == 2
+
+
+def test_mp4_tkhd_spec_offsets():
+    """encode_mp4_skeleton's tkhd is the spec 84-byte v0 body: track_ID
+    at offset 12, identity matrix, 16.16 dims at the end."""
+    data = mp4.encode_mp4_skeleton(320, 200, 7000)
+    i = data.find(b"tkhd")
+    body = data[i + 4:]
+    (size,) = struct.unpack(">I", data[i - 4:i])
+    assert size == 8 + 84
+    assert struct.unpack(">I", body[12:16])[0] == 1          # track_ID
+    assert struct.unpack(">i", body[40:44])[0] == 0x00010000  # matrix[0]
+    assert struct.unpack(">i", body[72:76])[0] == 0x40000000  # matrix[8]
+    assert struct.unpack(">II", body[76:84]) == (320 << 16, 200 << 16)
