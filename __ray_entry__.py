@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cube_orders": R.q_cube_orders,
         "x_url_parse": C.x_url_parse,
         "q_domain_rollup": C.q_domain_rollup,
+        "q_domain_cap": C.q_domain_cap,
     }
 
 
@@ -238,6 +239,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "q_cube_orders": R.Q_CUBE_SQL,
         "x_url_parse": C.url_parse_sql(sf_dir),
         "q_domain_rollup": C.domain_rollup_sql(sf_dir),
+        "q_domain_cap": C.domain_cap_sql(sf_dir),
         # every queries() entry is oracled. q_minhash_pairs checks
         # against the single-process naive port of the same deterministic
         # mine+verify (hash-exact; recall vs brute force additionally

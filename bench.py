@@ -48,7 +48,7 @@ BENCH_QUERIES_EXT = [
     "x_apng_frames", "q_rank_orders", "x_jpeg_features",
     "q_heavy_user_sets", "q_value_percentiles_cont",
     "x_quantize_export", "x_avi_frames", "x_mp4_meta", "x_webm_meta",
-    "q_cube_orders", "x_url_parse", "q_domain_rollup",
+    "q_cube_orders", "x_url_parse", "q_domain_rollup", "q_domain_cap",
 ]
 
 

@@ -3158,6 +3158,78 @@ FROM u GROUP BY registered_domain
 """)
 
 
+DOMAIN_CAP = 3
+
+
+def q_domain_cap(sf_dir: str, cap: int = DOMAIN_CAP):
+    """Per-domain page cap — THE canonical CC curation step: keep at most
+    ``cap`` pages per registered domain, deterministically (ordered by
+    md5(url), ties impossible on distinct urls).
+
+    Scale shape: domains are high-cardinality on a real web corpus, so
+    the groupby runs over 256 crc shards (the CLAUDE.md bounded-groupby
+    rule) with the per-domain top-K computed vectorized inside each shard
+    — one pass, no global sort; survivors stream out."""
+    import hashlib as _hl
+    import os as _os
+    import zlib as _zlib
+
+    import ray.data
+
+    _ensure_url_aux(sf_dir)
+    ds = ray.data.read_parquet(
+        _os.path.join(aux_dir_for(sf_dir), "url_inputs.parquet"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        from ..functions.urltools import parse_url
+        urls, doms, h = [], [], []
+        for url in t["url"].to_pylist():
+            try:
+                m = parse_url(url)
+            except ValueError:
+                continue
+            urls.append(url)
+            doms.append(m["registered_domain"])
+            h.append(_hl.md5(url.encode()).hexdigest())
+        shards = np.array([_zlib.crc32(d.encode()) & 255 for d in doms],
+                          dtype=np.int64)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "registered_domain": pa.array(doms, pa.string()),
+                         "h": pa.array(h, pa.string()),
+                         "_shard": pa.array(shards)})
+
+    def cap_shard(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "registered_domain" not in g.columns:
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "registered_domain": pd.Series([], dtype=object),
+                "rk": pd.Series([], dtype="int64")})
+        g = g.sort_values(["registered_domain", "h"], kind="mergesort")
+        rk = g.groupby("registered_domain", sort=False).cumcount() + 1
+        keep = g[rk <= cap].copy()
+        keep["rk"] = rk[rk <= cap].astype("int64")
+        return keep[["url", "registered_domain", "rk"]]
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("_shard")
+              .map_groups(cap_shard, batch_format="pandas"))
+
+
+def domain_cap_sql(sf_dir: str) -> str:
+    # DuckDB md5() == hashlib md5 hexdigest; ground-truth domain column
+    # from the synthesis-parts table
+    return (f"""
+WITH u AS (SELECT url, registered_domain FROM read_parquet(
+  '{aux_dir_for(sf_dir)}/url_expected.parquet')),
+r AS (
+  SELECT url, registered_domain,
+         CAST(ROW_NUMBER() OVER (PARTITION BY registered_domain
+                                 ORDER BY md5(url)) AS BIGINT) AS rk
+  FROM u)
+SELECT url, registered_domain, rk FROM r WHERE rk <= {DOMAIN_CAP}
+""")
+
+
 # --- q_prompt_tokens: M1 (template render) + M11 (placeholder expansion) ---
 # The prompt text around the <image> slot is a CONSTANT of the operator, so
 # its token count embeds as a literal; the data-dependent part (the tile
