@@ -58,3 +58,21 @@ def test_cube_levels_consistent(ray_session):
         assert r.revenue_cents == sub["revenue_cents"].sum()
     by_s = df[(df.priority == "ALL") & (df.status != "ALL")]
     assert by_s["n_orders"].sum() == total["n_orders"].iloc[0]
+
+
+def test_domain_cap_semantics(ray_session):
+    """Every domain keeps at most DOMAIN_CAP rows, ranks are 1..k, and
+    the survivor set is deterministic across executions."""
+    from deepseek_ocr_rs_ray.pipelines.corpus import DOMAIN_CAP, q_domain_cap
+
+    def canon(ds):
+        return (ds.to_pandas().sort_values(["registered_domain", "rk"])
+                .reset_index(drop=True))
+
+    a = canon(q_domain_cap(SF))
+    b = canon(q_domain_cap(SF))
+    pd.testing.assert_frame_equal(a, b)
+    sizes = a.groupby("registered_domain")["rk"].agg(["count", "max"])
+    assert (sizes["count"] <= DOMAIN_CAP).all()
+    assert (sizes["count"] == sizes["max"]).all()   # ranks are 1..k
+    assert len(a) > 0
